@@ -1,0 +1,156 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function surface (SURVEY.md §2.5) over the `events` stream table.
+  *
+  * The reference's richest single query is `get_tick_features`
+  * (`src/services/event_store/duckdb.py:408-458`): LAG deltas, pct change
+  * with NULLIF guard, rolling 5/10-tick STDDEV frames, running MAX, and
+  * drawdown — all over one shared named WINDOW ordered by seq. Here the
+  * analog keys are user_id≈game_id, event_id≈seq, value≈price.
+  *
+  * Scale note (SURVEY §7.4-7): reference windows are globally ordered because
+  * its queries are single-game; we ALWAYS partition windows by the entity key
+  * so the sort is per-partition — no single-reducer global sort at 100 TB.
+  *
+  * Determinism: lag/delta/ratio/max/row_number are exact float ops (same bits
+  * in Spark and DuckDB); only rolling STDDEV accumulates in engine-specific
+  * order (Spark recomputes per frame, DuckDB uses a segment tree) ⇒ rounded.
+  */
+object WindowQueries {
+
+  private val wOrd = Window.partitionBy("user_id").orderBy("event_id")
+
+  // ---------------------------------------------------------------------------
+  // q21 — LAG + delta + pct-change with NULLIF guard (W1): `duckdb.py:437-439`.
+  val q21Lag: Q = (s, d) => {
+    val prev = lag(col("value"), 1).over(wOrd)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        (col("value") - prev).as("delta"),
+        (col("value") - prev).divide(when(prev === 0, null).otherwise(prev))
+          .as("pct_change"))
+      .orderBy("event_id")
+  }
+  val q21Sql: String =
+    """SELECT event_id, user_id, value,
+      |  value - lag(value) OVER w AS delta,
+      |  (value - lag(value) OVER w) / nullif(lag(value) OVER w, 0) AS pct_change
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q22 — rolling STDDEV frames (W2): 5- and 10-tick volatility
+  // (`duckdb.py:440-445`). Guarded to NULL below 2 rows (Spark yields NaN,
+  // DuckDB NULL); rounded 3dp (segment-tree vs per-frame accumulation).
+  val q22RollingStd: Q = (s, d) => {
+    val w5 = wOrd.rowsBetween(-4, 0)
+    val w10 = wOrd.rowsBetween(-9, 0)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        when(count(lit(1)).over(w5) >= 2, round(stddev(col("value")).over(w5), 3))
+          .as("vol_5"),
+        when(count(lit(1)).over(w10) >= 2, round(stddev(col("value")).over(w10), 3))
+          .as("vol_10"))
+      .orderBy("event_id")
+  }
+  val q22Sql: String =
+    """SELECT event_id, user_id, value,
+      |  CASE WHEN count(*) OVER w5 >= 2 THEN round(stddev_samp(value) OVER w5, 3) END AS vol_5,
+      |  CASE WHEN count(*) OVER w10 >= 2 THEN round(stddev_samp(value) OVER w10, 3) END AS vol_10
+      |FROM events
+      |WINDOW w5 AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+      |       w10 AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q23 — running MAX + drawdown (W3/W4): `duckdb.py:446-452`
+  // price / NULLIF(running_max, 0) - 1. Comparisons only ⇒ exact.
+  val q23RunningMax: Q = (s, d) => {
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+    val runMax = max(col("value")).over(wRun)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        runMax.as("running_max"),
+        (col("value").divide(when(runMax === 0, null).otherwise(runMax)) - 1)
+          .as("drawdown"))
+      .orderBy("event_id")
+  }
+  val q23Sql: String =
+    """SELECT event_id, user_id, value,
+      |  max(value) OVER w AS running_max,
+      |  value / nullif(max(value) OVER w, 0) - 1 AS drawdown
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q24 — ROW_NUMBER dedup-best-row (A6/W6): keep one row per key by a total
+  // tie-broken order (`build_scalping_dataset.py:50-74`:
+  // PARTITION BY game_id ORDER BY price_len DESC, date DESC, ts DESC ... rn=1).
+  val q24DedupBest: Q = (s, d) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(desc("value"), desc("ts"), asc("event_id"))
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "value")
+      .orderBy("user_id")
+  }
+  val q24Sql: String =
+    """SELECT user_id, event_id, value FROM (
+      |  SELECT user_id, event_id, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, ts DESC, event_id ASC) AS rn
+      |  FROM events) WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q25 — running peak + ticks-since-peak (W8): RL observation features
+  // (`sidebet_v1_env.py:92-99`) — running max + index of the peak via the
+  // struct-max trick (max_by over the running frame), distance since peak.
+  val q25PeakTracking: Q = (s, d) => {
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+    val rnAll = row_number().over(wOrd)
+    Tables.events(s, d)
+      .withColumn("rn", rnAll)
+      .withColumn("running_peak", max(col("value")).over(wRun))
+      .withColumn("peak_rn",
+        max(struct(col("value"), (-col("rn")).as("neg_rn"))).over(wRun)("neg_rn") * -1)
+      .withColumn("rows_since_peak", col("rn") - col("peak_rn"))
+      .select("event_id", "user_id", "value", "running_peak", "peak_rn", "rows_since_peak")
+      .orderBy("event_id")
+  }
+  // max(struct(value, -rn)) picks the EARLIEST row among equal peaks —
+  // matches "first time the peak was reached". DuckDB: arg-max via the same
+  // struct ordering is awkward; use min(rn) FILTER over rows equal to the
+  // running max — identical semantics expressed with a self-window.
+  val q25Sql: String =
+    """WITH base AS (
+      |  SELECT event_id, user_id, value, ts,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+      |    max(value) OVER (PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_peak
+      |  FROM events)
+      |SELECT event_id, user_id, value, running_peak,
+      |  min(CASE WHEN value = running_peak THEN rn END) OVER (PARTITION BY user_id ORDER BY rn
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak_rn,
+      |  rn - min(CASE WHEN value = running_peak THEN rn END) OVER (PARTITION BY user_id ORDER BY rn
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rows_since_peak
+      |FROM base ORDER BY event_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q21_window_lag" -> q21Lag,
+    "q22_rolling_stddev" -> q22RollingStd,
+    "q23_running_max_drawdown" -> q23RunningMax,
+    "q24_dedup_best_row" -> q24DedupBest)
+
+  val oracles: Map[String, String] = Map(
+    "q21_window_lag" -> q21Sql,
+    "q22_rolling_stddev" -> q22Sql,
+    "q23_running_max_drawdown" -> q23Sql,
+    "q24_dedup_best_row" -> q24Sql)
+}
