@@ -15,7 +15,10 @@ object SparkEntry {
 
   private val modules: Seq[(Map[String, Q], Map[String, String])] = Seq(
     (ops.CoreQueries.queries, ops.CoreQueries.oracles),
-    (ops.WindowQueries.queries, ops.WindowQueries.oracles))
+    (ops.WindowQueries.queries, ops.WindowQueries.oracles),
+    (ops.EventQueries.queries, ops.EventQueries.oracles),
+    (text.TextQueries.queries, text.TextQueries.oracles),
+    (similarity.SimilarityQueries.queries, similarity.SimilarityQueries.oracles))
 
   /** Flagship: the reference's richest single query — `get_tick_features`
     * (`src/services/event_store/duckdb.py:408-458`) — LAG delta, pct change

@@ -225,8 +225,8 @@ object CoreQueries {
       .orderBy("l_linestatus")
   val q12Sql: String =
     """SELECT l_linestatus,
-      |  sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_discounted,
-      |  sum(CASE WHEN l_discount <= 0.05 THEN 1 ELSE 0 END) AS n_full_price,
+      |  CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
+      |  CAST(sum(CASE WHEN l_discount <= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_full_price,
       |  CAST(sum(CASE WHEN l_tax > 0.04 THEN CAST(l_quantity AS DECIMAL(28,4)) END) AS DOUBLE) AS taxed_qty
       |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 

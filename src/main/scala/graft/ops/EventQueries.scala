@@ -1,0 +1,174 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics (SURVEY.md §2.8 JSON/date functions, §2.3 J5 range
+  * association, §2.9 batch analogs of the streaming ops) over `events`.
+  *
+  * Reference anchors: JSON piercing of `raw_json`
+  * (`scripts/export_for_julius.py:29-36`, F1–F3), the [-5s,+2s] pre-rug
+  * window association (`scripts/analyze_pre_rug_events.py:68-98`, J5),
+  * per-bucket event-type counts (F12), and session/windowed stats
+  * (`session_tracker.py:107-232`, T9).
+  */
+object EventQueries {
+
+  // ---------------------------------------------------------------------------
+  // q26 — JSON extraction (F1/F2/F3): pierce the `props` JSON document column
+  // exactly as the reference pierces `raw_json` with json_extract_string.
+  val q26JsonExtract: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        min("k").as("min_k"), max("k").as("max_k"),
+        (sum(col("k").cast("long")).cast("double") / count(col("k"))).as("avg_k"))
+      .orderBy("event_type")
+  val q26Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |  min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+      |    / count(CAST(json_extract_string(props, '$.k') AS INT)) AS avg_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q27 — time-window range association (J5): for each rare anchor event,
+  // count same-user events in the preceding 48 hours — the reference's
+  // [-5s,+2s] bucket-around-rug-timestamp pattern. The anchor side is tiny
+  // (selective filter) ⇒ broadcast; the big side never shuffles.
+  val q27RangeJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val anchors = ev.filter(col("event_type") === "purchase" && col("value") > 300)
+      .select(col("event_id").as("anchor_id"), col("user_id").as("anchor_user"),
+        col("ts").as("anchor_ts"))
+    ev.join(broadcast(anchors),
+        col("user_id") === col("anchor_user") &&
+          col("ts") >= col("anchor_ts") - expr("INTERVAL 48 HOURS") &&
+          col("ts") < col("anchor_ts"))
+      .groupBy("anchor_id")
+      .agg(count(lit(1)).as("n_before"),
+        sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_errors"))
+      .orderBy("anchor_id")
+  }
+  val q27Sql: String =
+    """WITH anchors AS (
+      |  SELECT event_id AS anchor_id, user_id AS anchor_user, ts AS anchor_ts
+      |  FROM events WHERE event_type = 'purchase' AND value > 300)
+      |SELECT anchor_id, count(*) AS n_before,
+      |  CAST(sum(CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+      |FROM events e JOIN anchors a
+      |  ON e.user_id = a.anchor_user
+      | AND e.ts >= a.anchor_ts - INTERVAL 48 HOUR
+      | AND e.ts < a.anchor_ts
+      |GROUP BY anchor_id ORDER BY anchor_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q28 — gap-based sessionization (T9/T8 batch analog): a >30-min silence
+  // starts a new session; per-user session stats. Gap math in integer µs —
+  // exact in both engines (Spark unix_micros ≡ DuckDB epoch_us).
+  val q28Sessionize: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    val gapUs = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+    Tables.events(s, d)
+      .withColumn("new_session",
+        when(gapUs.isNull || gapUs > 1800000000L, 1).otherwise(0))
+      .withColumn("session_no",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_no")
+      .agg(count(lit(1)).as("n_events"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          .as("duration_us"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        max("n_events").as("max_session_events"),
+        sum("duration_us").as("total_session_us"))
+      .orderBy("user_id")
+  }
+  val q28Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id)
+      |           > 1800000000 OR lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL
+      |    THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |sessions AS (
+      |  SELECT user_id, event_id, ts,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      |  FROM flagged),
+      |per_session AS (
+      |  SELECT user_id, session_no, count(*) AS n_events,
+      |    epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+      |  FROM sessions GROUP BY user_id, session_no)
+      |SELECT user_id, count(*) AS n_sessions,
+      |  max(n_events) AS max_session_events,
+      |  CAST(sum(duration_us) AS BIGINT) AS total_session_us
+      |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q29 — daily active users (A2 per time bucket): date partition-key
+  // derivation (`writer.py:127`) + COUNT DISTINCT per bucket.
+  val q29DailyActive: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("dau"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
+      .orderBy("day")
+  val q29Sql: String =
+    """SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS dau,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q30 — per-bucket event-type count matrix (F12/A12): the reference's
+  // per-second event-type count maps (`analyze_pre_rug_events.py:74-98`),
+  // expressed as a pivot — one shuffle, map-side partial aggregation.
+  val q30TypePivot: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy("user_id")
+  val q30Sql: String =
+    """SELECT user_id,
+      |  CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS click,
+      |  CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS "error",
+      |  CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
+      |  CAST(coalesce(sum(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT) AS signup,
+      |  CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS "view"
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q31 — hourly event-rate rollup (T10 batch analog: rate / degradation
+  // monitoring as windowed counts over time buckets).
+  val q31HourlyRate: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("hour", "event_type")
+  val q31Sql: String =
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type, count(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q26_json_extract" -> q26JsonExtract,
+    "q27_range_join" -> q27RangeJoin,
+    "q28_sessionize" -> q28Sessionize,
+    "q29_daily_active" -> q29DailyActive,
+    "q30_type_pivot" -> q30TypePivot,
+    "q31_hourly_rate" -> q31HourlyRate)
+
+  val oracles: Map[String, String] = Map(
+    "q26_json_extract" -> q26Sql,
+    "q27_range_join" -> q27Sql,
+    "q28_sessionize" -> q28Sql,
+    "q29_daily_active" -> q29Sql,
+    "q30_type_pivot" -> q30Sql,
+    "q31_hourly_rate" -> q31Sql)
+}

@@ -1,0 +1,158 @@
+package graft.text
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline over the
+  * `documents` table: token counting, quality scoring, n-gram shingling,
+  * exact-hash deduplication, and a heuristic language-ID check.
+  *
+  * All of these are pure column expressions (whole-stage codegen, no UDFs):
+  * at 100 TB the text ops must stay inside codegen and never materialize
+  * per-token rows unless an explode is semantically required.
+  */
+object TextQueries {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Whitespace tokens of `text` (documents are single-space separated). */
+  private def toks = split(col("text"), " ")
+
+  // ---------------------------------------------------------------------------
+  // q32 — token counting: whitespace tokenizer + char stats per document.
+  val q32TokenCount: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(toks).as("n_tokens"),
+        length(col("text")).as("text_len"),
+        size(array_distinct(toks)).as("n_unique_tokens"))
+      .orderBy("doc_id")
+  val q32Sql: String =
+    """SELECT doc_id, lang,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  length(text) AS text_len,
+      |  len(list_distinct(string_split(text, ' '))) AS n_unique_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q33 — quality scoring: stopword ratio, type-token ratio, mean token
+  // length — the length/punct/stopword heuristics of pretraining filters.
+  // Ratios are single exact divisions of integers ⇒ bit-identical doubles.
+  val q33Quality: Q = (s, d) => {
+    val nTok = size(toks)
+    val nStop = size(filter(toks, t => t.isin(stopwords: _*)))
+    val nUniq = size(array_distinct(toks))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        nTok.as("n_tokens"),
+        (nStop.cast("double") / nTok.cast("double")).as("stopword_ratio"),
+        (nUniq.cast("double") / nTok.cast("double")).as("type_token_ratio"),
+        ((length(col("text")) - nTok + 1).cast("double") / nTok.cast("double"))
+          .as("mean_token_len"))
+      .orderBy("doc_id")
+  }
+  val q33Sql: String =
+    s"""SELECT doc_id,
+       |  len(string_split(text, ' ')) AS n_tokens,
+       |  CAST(len(list_filter(string_split(text, ' '),
+       |      t -> t IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE)
+       |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+       |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS type_token_ratio,
+       |  CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+       |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_token_len
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q34 — corpus rollup per (lang, source): counts + exact mean doc length.
+  val q34LangStats: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("mean_chars"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"))
+      .orderBy("lang", "source")
+  val q34Sql: String =
+    """SELECT lang, source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q35 — exact deduplication (hash-groupBy): keep the lowest doc_id per
+  // md5(text) group; emit group size. The exact-dedup stage every pretraining
+  // pipeline runs before near-dup. One shuffle on the hash — at 100 TB hash
+  // first so the shuffle key is 16 bytes, not the document.
+  val q35ExactDedup: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_doc_id")
+  val q35Sql: String =
+    """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
+      |  count(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q36 — n-gram shingling + Jaccard self-similarity profile: distinct
+  // 3-token shingles per doc (the input signature for MinHash, D10-style
+  // chunking). Pure higher-order array expressions — no explode.
+  val q36Shingles: Q = (s, d) => {
+    val n = size(toks)
+    val shingles = transform(sequence(lit(0), n - 3),
+      i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
+        element_at(toks, i + 3)))
+    Tables.documents(s, d)
+      .filter(n >= 3)
+      .select(col("doc_id"),
+        (n - 2).as("n_shingles"),
+        size(array_distinct(shingles)).as("n_unique_shingles"))
+      .orderBy("doc_id")
+  }
+  val q36Sql: String =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) - 2 AS n_shingles,
+      |  len(list_distinct(list_transform(
+      |    range(len(string_split(text, ' ')) - 2),
+      |    i -> string_split(text, ' ')[i + 1] || ' ' ||
+      |         string_split(text, ' ')[i + 2] || ' ' ||
+      |         string_split(text, ' ')[i + 3]))) AS n_unique_shingles
+      |FROM documents WHERE len(string_split(text, ' ')) >= 3
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q37 — language-ID agreement check: n-gram-heuristic language guess from
+  // stopword evidence vs the labeled lang column. (The heuristic itself is
+  // deliberately simple — the operator shape is "score per class, argmax".)
+  val q37LangId: Q = (s, d) => {
+    val enHits = size(filter(toks, t => t.isin("the", "a", "of")))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        enHits.as("en_stopword_hits"),
+        (enHits.cast("double") / size(toks).cast("double")).as("en_score"))
+      .orderBy("doc_id")
+  }
+  val q37Sql: String =
+    """SELECT doc_id, lang,
+      |  len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of'))) AS en_stopword_hits,
+      |  CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of'))) AS DOUBLE)
+      |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS en_score
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q32_token_count" -> q32TokenCount,
+    "q33_text_quality" -> q33Quality,
+    "q34_lang_stats" -> q34LangStats,
+    "q35_exact_dedup" -> q35ExactDedup,
+    "q36_shingles" -> q36Shingles,
+    "q37_lang_id" -> q37LangId)
+
+  val oracles: Map[String, String] = Map(
+    "q32_token_count" -> q32Sql,
+    "q33_text_quality" -> q33Sql,
+    "q34_lang_stats" -> q34Sql,
+    "q35_exact_dedup" -> q35Sql,
+    "q36_shingles" -> q36Sql,
+    "q37_lang_id" -> q37Sql)
+}
