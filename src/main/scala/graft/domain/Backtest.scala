@@ -1,0 +1,93 @@
+package graft.domain
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backtesting (D8/D9 + A16): evaluate a sidebet strategy over recorded
+  * games and fold per-bet PnL into an equity curve.
+  *
+  * The reference replays each game in a Python tick loop
+  * (`backtest_service.py:358-572`). Re-expressed Spark-first:
+  *   - bet outcomes are PURE COLUMN EXPRESSIONS (D4 — win iff the rug tick
+  *     falls in [start, start+39]; the whole bet schedule is computable from
+  *     (entry, duration), no per-tick iteration);
+  *   - the compounding wallet across an ordered game sequence — inherently a
+  *     sequential product — becomes a WINDOW CUMULATIVE SUM IN LOG SPACE:
+  *     bankroll_t = b0·∏(1+r_i) = b0·exp(Σ log1p(r_i)), turning the
+  *     reference's driver-side fold into a distributed prefix aggregation;
+  *   - train/validation split by md5 hash (D9, `backtest_service.py:262-265`)
+  *     — bit-exact reproducible.
+  */
+object Backtest {
+
+  /** Martingale-style multi-bet schedule: bet i (1-based) enters at
+    * entry + (i-1)·45 with stake · 2^(i-1) (`explorer_data.py:105-135`,
+    * `position_sizing.py:171-196`): first bet whose window contains the rug
+    * tick wins (correlated as-of lookup J6 — expressed as array logic).
+    */
+  def evaluateStrategy(
+      gamesWithRug: DataFrame,
+      entryTick: Int,
+      maxBets: Int,
+      baseBetFrac: Double): DataFrame = {
+    val schedule = (1 to maxBets).map { i =>
+      struct(
+        lit(entryTick + (i - 1) * 45).as("start_tick"),
+        lit(baseBetFrac * math.pow(2, i - 1)).as("stake"))
+    }
+    val bets = array(schedule: _*)
+    // first bet (lowest start) whose [start, start+39] window contains rug_tick
+    val winning = filter(bets, b =>
+      col("rug_tick") >= b("start_tick") &&
+        col("rug_tick") <= b("start_tick") + (GameAnalytics.SidebetWindowTicks - 1))
+    // stakes are lost for every bet that STARTED (game lasted past start)
+    val placed = filter(bets, b => col("duration_ticks") > b("start_tick"))
+    val stakeLost = aggregate(placed, lit(0.0), (a, b) => a + b("stake"))
+    val stakeWon = when(size(winning) > 0,
+      element_at(winning, 1)("stake") * (GameAnalytics.SidebetPayout + 1))
+      .otherwise(0.0)
+    gamesWithRug
+      .withColumn("n_bets_placed", size(placed))
+      .withColumn("pnl", stakeWon - stakeLost)
+      .withColumn("won", size(winning) > 0)
+  }
+
+  /** Deterministic 30% validation split (D9): conv(md5 prefix) / 2^32. */
+  def withSplit(df: DataFrame, validationFrac: Double = 0.30): DataFrame =
+    df.withColumn("hash01",
+      conv(substring(md5(col("game_id")), 1, 8), 16, 10).cast("double")
+        / 4294967295.0)
+      .withColumn("split",
+        when(col("hash01") < validationFrac, "validation").otherwise("train"))
+      .drop("hash01")
+
+  /** Equity curve over games ordered by timestamp: cumulative compounded
+    * bankroll + running peak + drawdown (A16 session metrics).
+    * pnl is a FRACTION of bankroll per game (fractional staking).
+    */
+  def equityCurve(perGamePnl: DataFrame, startingBankroll: Double = 1.0): DataFrame = {
+    val w = Window.orderBy("timestamp", "game_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val bankroll = lit(startingBankroll) *
+      exp(sum(log(greatest(lit(1e-12), lit(1.0) + col("pnl")))).over(w))
+    val peak = max(bankroll).over(w)
+    perGamePnl
+      .withColumn("bankroll", bankroll)
+      .withColumn("peak", peak)
+      .withColumn("drawdown", lit(1.0) - col("bankroll") / col("peak"))
+  }
+
+  /** Session metrics (A16, `game_state.py:1003-1042`): totals, win rate,
+    * avg win/loss, ROI, max drawdown.
+    */
+  def sessionMetrics(equity: DataFrame): DataFrame =
+    equity.agg(
+      count(lit(1)).as("n_games"),
+      sum(when(col("won"), 1).otherwise(0)).as("n_wins"),
+      avg(col("won").cast("double")).as("win_rate"),
+      avg(when(col("pnl") > 0, col("pnl"))).as("avg_win"),
+      avg(when(col("pnl") < 0, col("pnl"))).as("avg_loss"),
+      max("drawdown").as("max_drawdown"),
+      last("bankroll").as("final_bankroll"))
+}

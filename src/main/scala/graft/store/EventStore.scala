@@ -1,0 +1,129 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The canonical event-envelope store: one wide, fixed, versioned schema
+  * persisted as Hive-partitioned Parquet — the Spark re-expression of the
+  * reference's event store.
+  *
+  * Reference: 20-column envelope `src/services/event_store/schema.py:46-89`
+  * (PyArrow schema at `writer.py:254-278`); physical layout
+  * `events_parquet/doc_type=<t>/date=<YYYY-MM-DD>/` (`writer.py:42-45`,
+  * `paths.py:63-74`); reads are glob scans with hive_partitioning +
+  * union_by_name (`src/scripts/query_session.py:43-53`).
+  *
+  * Design decisions preserved from the reference:
+  *   - `price`/`cash`/`position_qty` stay STRING on disk ("Decimal stored as
+  *     string", `writer.py:268-272`); queries cast exactly like
+  *     `duckdb.py:435` does;
+  *   - hot JSON fields are extracted to top-level columns at write time
+  *     (`schema.py:77-89` "for efficient queries") — that's projection
+  *     pushdown by schema design;
+  *   - partitioning by (doc_type, date) makes Catalyst partition pruning
+  *     replace the reference's manual glob construction (`duckdb.py:67-68`).
+  */
+object EventStore {
+
+  val SchemaVersion = "1.0.0" // schema.py:342
+
+  /** Envelope schema (writer.py:254-278): everything string except the three
+    * int64s; `doc_type`/`date` become partition columns on write.
+    */
+  val envelopeSchema: StructType = StructType(Seq(
+    StructField("ts", StringType),                // ISO-8601 (writer.py:257)
+    StructField("source", StringType),            // cdp|public_ws|replay|ui
+    StructField("doc_type", StringType),          // partition key
+    StructField("session_id", StringType),
+    StructField("seq", LongType),                 // per-session monotonic
+    StructField("direction", StringType),         // received|sent
+    StructField("raw_json", StringType),          // full original payload
+    StructField("game_id", StringType),
+    StructField("player_id", StringType),
+    StructField("username", StringType),
+    StructField("event_name", StringType),
+    StructField("price", StringType),             // decimal-as-string
+    StructField("tick", LongType),
+    StructField("action_type", StringType),
+    StructField("cash", StringType),              // decimal-as-string
+    StructField("position_qty", StringType),      // decimal-as-string
+    StructField("button_id", StringType),
+    StructField("button_category", StringType),
+    StructField("sequence_id", StringType),
+    StructField("sequence_position", LongType)))
+
+  val docTypes: Seq[String] = Seq(
+    "ws_event", "game_tick", "player_action", "button_event", "bbc_round",
+    "candleflip_round", "short_position", "server_state", "system_event",
+    "complete_game") // schema.py:15-27
+
+  /** Nested `complete_game` document schema (schema.py:274-312, consumed at
+    * export_for_julius.py:29-36 / data_service.py:141-204).
+    */
+  val completeGameSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("timestamp", LongType),           // unix ms
+    StructField("gameVersion", StringType),
+    StructField("rugged", BooleanType),
+    StructField("peakMultiplier", DoubleType),
+    StructField("prices", ArrayType(DoubleType)), // tick-by-tick series
+    StructField("globalSidebets", ArrayType(StructType(Seq(
+      StructField("playerId", StringType),
+      StructField("username", StringType),
+      StructField("betAmount", DoubleType),
+      StructField("xPayout", IntegerType),
+      StructField("startedAtTick", IntegerType),
+      StructField("end", IntegerType),
+      StructField("type", StringType))))),
+    StructField("provablyFair", StructType(Seq(
+      StructField("serverSeedHash", StringType))))))
+
+  /** Write envelopes Hive-partitioned by (doc_type, date). The `date`
+    * partition key is derived from `ts` exactly like `writer.py:127`
+    * (strftime '%Y-%m-%d'). Spark's file-commit protocol replaces the
+    * reference's temp-file + atomic-rename (`writer.py:219-232`).
+    */
+  def write(df: DataFrame, path: String, mode: SaveMode = SaveMode.Append): Unit =
+    df.withColumn("date", date_format(to_timestamp(col("ts")), "yyyy-MM-dd"))
+      .write.mode(mode)
+      .partitionBy("doc_type", "date")
+      .parquet(path)
+
+  /** Hive-partitioned scan with schema merge — the `hive_partitioning=true,
+    * union_by_name=true` glob read (`query_session.py:49`). Filters on
+    * doc_type/date prune partitions in Catalyst (S2/S3).
+    */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("basePath", path)
+      .option("mergeSchema", "true")
+      .parquet(path)
+
+  /** Partition-pruned scan of one doc_type (S3): the reference restricts the
+    * glob to `doc_type=<t>/` (`duckdb.py:67-68`) — here the SAME pruning is
+    * done by Catalyst from the filter, visible as PartitionFilters in
+    * `.explain`.
+    */
+  def readDocType(spark: SparkSession, path: String, docType: String): DataFrame =
+    read(spark, path).filter(col("doc_type") === docType)
+
+  /** Parse the nested complete_game documents out of raw_json (F3). */
+  def completeGames(envelopes: DataFrame): DataFrame =
+    envelopes
+      .filter(col("doc_type") === "complete_game")
+      .withColumn("game", from_json(col("raw_json"), completeGameSchema))
+
+  /** JSONL export (S7): per-doc_type line JSON ordered by ts, NULLs dropped
+    * by the JSON writer (`export_jsonl.py:19-92`).
+    */
+  def exportJsonl(df: DataFrame, outPath: String): Unit =
+    df.orderBy("ts").write.mode(SaveMode.Overwrite)
+      .option("ignoreNullFields", "true")
+      .partitionBy("doc_type")
+      .json(outPath)
+
+  /** CSV export (S8): flattened summary tables (`export_for_julius.py:27-110`). */
+  def exportCsv(df: DataFrame, outPath: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(outPath)
+}

@@ -1,0 +1,35 @@
+package graft.sim
+
+import graft.SparkSpec
+
+class MonteCarloSpec extends SparkSpec {
+
+  private val cfg = MonteCarlo.SimConfig(iterations = 200, gamesPerIteration = 100)
+
+  test("kelly fraction matches f* = (p(b+1)-1)/b") {
+    val full = MonteCarlo.SimConfig(kellyFraction = 1.0)
+    assert(math.abs(full.kellyStar - (0.176 * 6 - 1) / 5.0) < 1e-12)
+    assert(full.betFraction === full.kellyStar)
+  }
+
+  test("simulation is deterministic per (seed, iteration)") {
+    val a = MonteCarlo.simulate(spark, cfg).orderBy("iteration").collect()
+    val b = MonteCarlo.simulate(spark, cfg).orderBy("iteration").collect()
+    assert(a.map(_.getAs[Double]("finalBankroll")).toSeq ===
+      b.map(_.getAs[Double]("finalBankroll")).toSeq)
+    // different seed ⇒ different outcomes
+    val c = MonteCarlo.simulate(spark, cfg.copy(seed = 7L)).orderBy("iteration").collect()
+    assert(a.map(_.getAs[Double]("finalBankroll")).toSeq !==
+      c.map(_.getAs[Double]("finalBankroll")).toSeq)
+  }
+
+  test("risk report fields are well-formed probabilities and quantiles") {
+    val r = MonteCarlo.riskReport(MonteCarlo.simulate(spark, cfg)).head()
+    assert(r.getAs[Long]("n_iterations") === 200L)
+    val pProfit = r.getAs[Double]("p_profit")
+    assert(pProfit >= 0.0 && pProfit <= 1.0)
+    assert(r.getAs[Double]("risk_of_ruin") >= 0.0)
+    assert(r.getAs[Double]("cvar_95") <= r.getAs[Double]("var_95") + 1e-12)
+    assert(r.getAs[Double]("p95_max_drawdown") >= r.getAs[Double]("mean_max_drawdown") - 1e-12)
+  }
+}
