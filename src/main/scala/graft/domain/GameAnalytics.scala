@@ -67,7 +67,7 @@ object GameAnalytics {
     */
   def withRugTick(df: DataFrame, pricesCol: String = "prices"): DataFrame = {
     val p = col(pricesCol)
-    val drops = zip_with(slice(p, 1, size(p) - 1), slice(p, 2, size(p) - 1),
+    val drops = zip_with(slice(p, lit(1), size(p) - 1), slice(p, lit(2), size(p) - 1),
       (prev, cur) => prev - cur)
     val best = aggregate(
       zip_with(drops, sequence(lit(1), size(p) - 1),
@@ -142,9 +142,9 @@ object GameAnalytics {
       val m = mean(arr)
       sqrt(aggregate(arr, lit(0.0), (a, x) => a + (x - m) * (x - m)) / size(arr))
     }
-    val rets = zip_with(slice(p, 2, size(p) - 1), slice(p, 1, size(p) - 1),
+    val rets = zip_with(slice(p, lit(2), size(p) - 1), slice(p, lit(1), size(p) - 1),
       (cur, prev) => (cur - prev) / prev)
-    val logRets = zip_with(slice(p, 2, size(p) - 1), slice(p, 1, size(p) - 1),
+    val logRets = zip_with(slice(p, lit(2), size(p) - 1), slice(p, lit(1), size(p) - 1),
       (cur, prev) => log(cur / prev))
     val spikes = filter(rets, r => abs(r) > lit(0.10))
     dedupedGames

@@ -35,14 +35,17 @@ class SimilaritySpec extends SparkSpec {
 
   test("simhash of identical docs is identical; hamming small for near-dups") {
     val base = (1 to 50).map(i => s"tok$i").mkString(" ")
-    val docs = Seq((1L, base), (2L, base),
-      (3L, (1 to 50).map(i => s"other$i").mkString(" "))).toDF("doc_id", "text")
-    val d = "ignored"
-    val sigs = SimilarityQueries.q44Simhash(
-      spark, d) // not used: q44 reads from sfDir
-    // use the internal path via a local frame instead:
-    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-    assert(tok.count() === 150)
+    val nearDup = (1 to 48).map(i => s"tok$i").mkString(" ") + " changedA changedB"
+    val docs = Seq((1L, base), (2L, base), (3L, nearDup),
+      (4L, (1 to 50).map(i => s"other$i").mkString(" "))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val sig = SimilarityQueries.q44Simhash(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sig(1L) === sig(2L))                 // identical docs, identical sig
+    assert(hamming(sig(1L), sig(3L)) <= 12)     // 96% token overlap => close
+    assert(hamming(sig(1L), sig(4L)) > 12)      // disjoint vocab => far
   }
 
   test("cosine top-k: nearest neighbor of a vector is its duplicate") {
