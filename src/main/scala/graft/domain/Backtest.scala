@@ -41,8 +41,11 @@ object Backtest {
     val winning = filter(bets, b =>
       col("rug_tick") >= b("start_tick") &&
         col("rug_tick") <= b("start_tick") + (GameAnalytics.SidebetWindowTicks - 1))
-    // stakes are lost for every bet that STARTED (game lasted past start)
-    val placed = filter(bets, b => col("duration_ticks") > b("start_tick"))
+    // a martingale stops after its first win: a bet is placed only if the
+    // game lasted past its start AND no earlier bet in the schedule won
+    val winStart = coalesce(element_at(winning, 1)("start_tick"), lit(Int.MaxValue))
+    val placed = filter(bets, b =>
+      col("duration_ticks") > b("start_tick") && b("start_tick") <= winStart)
     val stakeLost = aggregate(placed, lit(0.0), (a, b) => a + b("stake"))
     val stakeWon = when(size(winning) > 0,
       element_at(winning, 1)("stake") * (GameAnalytics.SidebetPayout + 1))
@@ -89,5 +92,8 @@ object Backtest {
       avg(when(col("pnl") > 0, col("pnl"))).as("avg_win"),
       avg(when(col("pnl") < 0, col("pnl"))).as("avg_loss"),
       max("drawdown").as("max_drawdown"),
-      last("bankroll").as("final_bankroll"))
+      // last() is partition-order dependent; take the bankroll at the max
+      // ordering key so the result is deterministic on any partitioning
+      max_by(col("bankroll"), struct(col("timestamp"), col("game_id")))
+        .as("final_bankroll"))
 }

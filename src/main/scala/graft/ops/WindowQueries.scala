@@ -119,26 +119,30 @@ object WindowQueries {
       .withColumn("rn", rnAll)
       .withColumn("running_peak", max(col("value")).over(wRun))
       .withColumn("peak_rn",
-        max(struct(col("value"), (-col("rn")).as("neg_rn"))).over(wRun)("neg_rn") * -1)
-      .withColumn("rows_since_peak", col("rn") - col("peak_rn"))
+        (max(struct(col("value"), (-col("rn")).as("neg_rn"))).over(wRun)("neg_rn") * -1)
+          .cast("long"))
+      .withColumn("rows_since_peak", (col("rn") - col("peak_rn")).cast("long"))
       .select("event_id", "user_id", "value", "running_peak", "peak_rn", "rows_since_peak")
       .orderBy("event_id")
   }
   // max(struct(value, -rn)) picks the EARLIEST row among equal peaks —
-  // matches "first time the peak was reached". DuckDB: arg-max via the same
-  // struct ordering is awkward; use min(rn) FILTER over rows equal to the
-  // running max — identical semantics expressed with a self-window.
+  // "first time the current peak was reached". SQL form: a row is a NEW
+  // HIGH iff its value strictly exceeds the prior running max; the last
+  // new-high row in the prefix is exactly the first occurrence of the
+  // current running peak (later equal values are not new highs).
   val q25Sql: String =
     """WITH base AS (
-      |  SELECT event_id, user_id, value, ts,
+      |  SELECT event_id, user_id, value,
       |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
       |    max(value) OVER (PARTITION BY user_id ORDER BY event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_peak
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_peak,
+      |    CASE WHEN value > coalesce(max(value) OVER (PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1e308) THEN 1 ELSE 0 END AS is_new_high
       |  FROM events)
       |SELECT event_id, user_id, value, running_peak,
-      |  min(CASE WHEN value = running_peak THEN rn END) OVER (PARTITION BY user_id ORDER BY rn
+      |  max(CASE WHEN is_new_high = 1 THEN rn END) OVER (PARTITION BY user_id ORDER BY rn
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak_rn,
-      |  rn - min(CASE WHEN value = running_peak THEN rn END) OVER (PARTITION BY user_id ORDER BY rn
+      |  rn - max(CASE WHEN is_new_high = 1 THEN rn END) OVER (PARTITION BY user_id ORDER BY rn
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rows_since_peak
       |FROM base ORDER BY event_id""".stripMargin
 
@@ -146,11 +150,13 @@ object WindowQueries {
     "q21_window_lag" -> q21Lag,
     "q22_rolling_stddev" -> q22RollingStd,
     "q23_running_max_drawdown" -> q23RunningMax,
-    "q24_dedup_best_row" -> q24DedupBest)
+    "q24_dedup_best_row" -> q24DedupBest,
+    "q25_peak_tracking" -> q25PeakTracking)
 
   val oracles: Map[String, String] = Map(
     "q21_window_lag" -> q21Sql,
     "q22_rolling_stddev" -> q22Sql,
     "q23_running_max_drawdown" -> q23Sql,
-    "q24_dedup_best_row" -> q24Sql)
+    "q24_dedup_best_row" -> q24Sql,
+    "q25_peak_tracking" -> q25Sql)
 }

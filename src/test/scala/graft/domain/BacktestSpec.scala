@@ -21,9 +21,11 @@ class BacktestSpec extends SparkSpec {
       .collect().map(r => r.getAs[String]("game_id") ->
         (r.getAs[Boolean]("won"), r.getAs[Double]("pnl"),
           r.getAs[Int]("n_bets_placed"))).toMap
-    // g1: bet1 (stake .01) wins 6x = +.06, bet2 (.02) also placed and lost
+    // g1: bet1 (stake .01) wins 6x at rug 210; the martingale stops after a
+    // win, so bet2 (start 245) is never placed: pnl = .06 - .01
     assert(res("g1")._1)
-    assert(math.abs(res("g1")._2 - (0.06 - 0.03)) < 1e-12)
+    assert(math.abs(res("g1")._2 - (0.06 - 0.01)) < 1e-12)
+    assert(res("g1")._3 === 1)
     // g2: bet1 lost, bet2 (stake .02) wins 6x = .12 - .03 staked
     assert(res("g2")._1)
     assert(math.abs(res("g2")._2 - (0.12 - 0.03)) < 1e-12)
