@@ -111,18 +111,32 @@ object SimilarityQueries {
   private val NumHashes = 16
   private val BandSize = 4
 
+  /** Adds a `shingles` column: the distinct 3-token shingle set of `text`.
+    *
+    * The token array is bound as a real column first, and shingles come from
+    * zipping three shifted slices — NOT from element_at inside a transform
+    * lambda over an inlined split(): optimizer inlining re-evaluates split()
+    * per lambda element, turning shingling O(n²) per document (measured ~9×
+    * slower at sf0.1). Keeps docs with >= 3 tokens.
+    */
+  def withShingles(docs: DataFrame): DataFrame = {
+    val t = col("__toks")
+    val n = size(t)
+    docs
+      .withColumn("__toks", split(col("text"), " "))
+      .filter(n >= 3)
+      .withColumn("shingles", array_distinct(transform(
+        arrays_zip(slice(t, lit(1), n - 2), slice(t, lit(2), n - 2),
+          slice(t, lit(3), n - 2)),
+        z => concat_ws(" ", z("0"), z("1"), z("2")))))
+      .drop("__toks")
+  }
+
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val toks = split(col("text"), " ")
-    val n = size(toks)
-    val shingles = array_distinct(transform(sequence(lit(0), n - 3),
-      i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
-        element_at(toks, i + 3))))
     val sig = array((0 until NumHashes).map { h =>
       array_min(transform(col("shingles"), sh => xxhash64(lit(h), sh)))
     }: _*)
-    docs.filter(n >= 3)
-      .withColumn("shingles", shingles)
-      .withColumn("minhash", sig)
+    withShingles(docs).withColumn("minhash", sig)
   }
 
   val q42MinhashSig: Q = (s, d) =>
@@ -137,20 +151,35 @@ object SimilarityQueries {
   // 8-byte band hashes shuffle; documents are re-joined for the (rare)
   // verification step.
   val q43MinhashPairs: Q = (s, d) => {
-    val withSig = minhashSignatures(Tables.documents(s, d))
-      .select(col("doc_id"), col("shingles"), col("minhash"))
-    val banded = withSig.select(col("doc_id"), col("shingles"),
-      posexplode(array((0 until NumHashes / BandSize).map { b =>
-        hash(slice(col("minhash"), b * BandSize + 1, BandSize))
-      }: _*)).as(Seq("band", "band_hash")))
-    val cands = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.band_hash") === col("y.band_hash") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-        col("x.shingles").as("sh_a"), col("y.shingles").as("sh_b"))
-      .dropDuplicates("id_a", "id_b")
-    cands
+    // Shape chosen for scale AND single-pass efficiency:
+    //   1. signature pipeline runs ONCE (no self-join over it — a self-join
+    //      would recompute the signatures on both sides or force a persist
+    //      whose concurrent-broadcast fill serializes, measured 5-20× slower);
+    //   2. only slim (doc_id, band, band_hash) rows shuffle; pairs within a
+    //      bucket come from groupBy + collect_list + array combinatorics —
+    //      bucket membership is small by construction (that's the point of
+    //      banding), so c(k,2) per bucket is bounded;
+    //   3. exact-Jaccard verification re-derives shingles from `documents`
+    //      only for the (rare) surviving candidate pairs via two broadcast
+    //      joins of the tiny pair set against the base table.
+    val banded = minhashSignatures(Tables.documents(s, d))
+      .select(col("doc_id"),
+        posexplode(array((0 until NumHashes / BandSize).map { b =>
+          hash(slice(col("minhash"), b * BandSize + 1, BandSize))
+        }: _*)).as(Seq("band", "band_hash")))
+    val ids = sort_array(collect_list(col("doc_id")))
+    val pairs = banded.groupBy("band", "band_hash")
+      .agg(ids.as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, greatest(size(col("ids")) - i - 1, lit(0))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+    val docShingles = withShingles(Tables.documents(s, d))
+    pairs
+      .join(docShingles.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(docShingles.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",

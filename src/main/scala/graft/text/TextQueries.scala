@@ -98,16 +98,21 @@ object TextQueries {
   // q36 — n-gram shingling + Jaccard self-similarity profile: distinct
   // 3-token shingles per doc (the input signature for MinHash, D10-style
   // chunking). Pure higher-order array expressions — no explode.
+  // Tokens bound as a column + zip-of-slices shingling (NOT element_at over
+  // an inlined split() inside the lambda — that re-splits per element, O(n²)
+  // per document; see SimilarityQueries.withShingles).
   val q36Shingles: Q = (s, d) => {
-    val n = size(toks)
-    val shingles = transform(sequence(lit(0), n - 3),
-      i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
-        element_at(toks, i + 3)))
+    val t = col("__toks")
+    val n = size(t)
     Tables.documents(s, d)
+      .withColumn("__toks", toks)
       .filter(n >= 3)
       .select(col("doc_id"),
         (n - 2).as("n_shingles"),
-        size(array_distinct(shingles)).as("n_unique_shingles"))
+        size(array_distinct(transform(
+          arrays_zip(slice(t, lit(1), n - 2), slice(t, lit(2), n - 2),
+            slice(t, lit(3), n - 2)),
+          z => concat_ws(" ", z("0"), z("1"), z("2"))))).as("n_unique_shingles"))
       .orderBy("doc_id")
   }
   val q36Sql: String =
