@@ -17,6 +17,7 @@ object SparkEntry {
     (ops.CoreQueries.queries, ops.CoreQueries.oracles),
     (ops.WindowQueries.queries, ops.WindowQueries.oracles),
     (ops.EventQueries.queries, ops.EventQueries.oracles),
+    (ops.AnalyticsQueries.queries, ops.AnalyticsQueries.oracles),
     (text.TextQueries.queries, text.TextQueries.oracles),
     (similarity.SimilarityQueries.queries, similarity.SimilarityQueries.oracles))
 

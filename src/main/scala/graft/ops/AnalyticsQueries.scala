@@ -1,0 +1,171 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Domain-analytics operators re-expressed relationally over the `events`
+  * stream table (user_id ≈ game_id, event_id ≈ seq, value ≈ price), so the
+  * same semantics GameAnalytics/Backtest implement over nested price arrays
+  * are ALSO oracle-checked against DuckDB row-for-row.
+  *
+  * Reference anchors: per-game volatility metrics (A15,
+  * `scripts/volatility_study.py:53-137`), equity-curve compounding (A16,
+  * `src/core/game_state.py:1003-1042` + backtest wallet fold
+  * `backtest_service.py:358-572`), RL observation builder (D2,
+  * `src/rl/envs/sidebet_v1_env.py:33-135`).
+  *
+  * Determinism notes: returns/ratios are exact float ops; stddev and
+  * exp/ln-derived columns are rounded (engine-specific accumulation order /
+  * last-ulp libm differences).
+  */
+object AnalyticsQueries {
+
+  private val wOrd = Window.partitionBy("user_id").orderBy("event_id")
+  private val wRun = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+
+  // ---------------------------------------------------------------------------
+  // q45 — per-entity volatility metrics (A15): population stddev of price,
+  // simple and log returns, range, high/low ratio, spike count (|ret|>10%) —
+  // volatility_study.py:53-137 computed with ONE window pass + one groupBy
+  // (map-side partial aggregation; no arrays materialized).
+  val q45Volatility: Q = (s, d) => {
+    val prev = lag(col("value"), 1).over(wOrd)
+    val ret = col("value") / prev - 1
+    Tables.events(s, d)
+      .withColumn("ret", ret)
+      .withColumn("log_ret", log(col("value") / prev))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_ticks"),
+        round(stddev_pop(col("value")), 4).as("price_std"),
+        round(stddev_pop(col("ret")), 4).as("return_std"),
+        round(stddev_pop(col("log_ret")), 4).as("log_return_std"),
+        round(max(col("value")) - min(col("value")), 6).as("price_range"),
+        round(max(col("value")) / min(col("value")), 6).as("high_low_ratio"),
+        sum(when(abs(col("ret")) > 0.10, 1).otherwise(0)).as("spike_count"))
+      .orderBy("user_id")
+  }
+  val q45Sql: String =
+    """WITH r AS (
+      |  SELECT user_id, value,
+      |    value / lag(value) OVER w - 1 AS ret,
+      |    ln(value / lag(value) OVER w) AS log_ret
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+      |SELECT user_id, count(*) AS n_ticks,
+      |  round(stddev_pop(value), 4) AS price_std,
+      |  round(stddev_pop(ret), 4) AS return_std,
+      |  round(stddev_pop(log_ret), 4) AS log_return_std,
+      |  round(max(value) - min(value), 6) AS price_range,
+      |  round(max(value) / min(value), 6) AS high_low_ratio,
+      |  CAST(sum(CASE WHEN abs(ret) > 0.10 THEN 1 ELSE 0 END) AS BIGINT) AS spike_count
+      |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q46 — equity-curve compounding (A16/D8): the sequential wallet fold
+  // bankroll_t = b0·∏(1 + r_i) becomes a distributed prefix aggregation in
+  // log space: exp(Σ log1p(r_i)) over the running frame — no driver-side
+  // loop, partition-local per entity. Half-fraction participation keeps the
+  // product from telescoping. Running peak + drawdown on top (W3/W4 shape).
+  val q46Equity: Q = (s, d) => {
+    val prev = lag(col("value"), 1).over(wOrd)
+    val r = coalesce(col("value") / prev - 1, lit(0.0)) * 0.5
+    Tables.events(s, d)
+      .withColumn("lr", log(lit(1.0) + r))
+      .withColumn("log_bankroll", sum(col("lr")).over(wRun))
+      .withColumn("log_peak", max(col("log_bankroll")).over(wRun))
+      .select(col("event_id"), col("user_id"),
+        round(col("log_bankroll"), 6).as("log_bankroll"),
+        round(col("log_peak"), 6).as("log_peak"),
+        // drawdown = 1 - bankroll/peak computed in log space: the exp
+        // argument is <= 0, so the result stays in [0, 1) at any scale
+        // (exp of the raw sum overflows rounding at large magnitudes)
+        round(lit(1.0) - exp(col("log_bankroll") - col("log_peak")), 6)
+          .as("drawdown"))
+      .orderBy("event_id")
+  }
+  val q46Sql: String =
+    """WITH r AS (
+      |  SELECT event_id, user_id,
+      |    ln(1.0 + coalesce(value / lag(value) OVER w - 1, 0.0) * 0.5) AS lr
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+      |b AS (
+      |  SELECT event_id, user_id,
+      |    sum(lr) OVER wrun AS log_bankroll
+      |  FROM r
+      |  WINDOW wrun AS (PARTITION BY user_id ORDER BY event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_id, user_id,
+      |  round(log_bankroll, 6) AS log_bankroll,
+      |  round(max(log_bankroll) OVER wrun, 6) AS log_peak,
+      |  round(1.0 - exp(log_bankroll - max(log_bankroll) OVER wrun), 6) AS drawdown
+      |FROM b
+      |WINDOW wrun AS (PARTITION BY user_id ORDER BY event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q50 — RL observation builder (D2, sidebet_v1_env.py:33-135): running
+  // peak, rows since peak, drawdown-from-peak, 5-row momentum, 10-row
+  // volatility, per-second velocity — one shared window family, all
+  // partition-local per entity.
+  val q50ObsFeatures: Q = (s, d) => {
+    val w10 = wOrd.rowsBetween(-9, 0)
+    val rn = row_number().over(wOrd)
+    val runPeak = max(col("value")).over(wRun)
+    val peakRn = max(struct(col("value"), (-rn).as("neg_rn"))).over(wRun)("neg_rn") * -1
+    val prev1 = lag(col("value"), 1).over(wOrd)
+    val prevTs = lag(col("ts"), 1).over(wOrd)
+    val gapUs = unix_micros(col("ts")) - unix_micros(prevTs)
+    Tables.events(s, d)
+      .withColumn("rn", rn)
+      .select(col("event_id"), col("user_id"), col("value"),
+        runPeak.as("running_peak"),
+        (col("rn") - peakRn).cast("long").as("rows_since_peak"),
+        round(col("value") / runPeak - 1, 6).as("drawdown_from_peak"),
+        (col("value") - lag(col("value"), 5).over(wOrd)).as("momentum_5"),
+        when(count(lit(1)).over(w10) >= 2, round(stddev(col("value")).over(w10), 3))
+          .as("vol_10"),
+        when(gapUs > 0,
+          round((col("value") - prev1) / (gapUs.cast("double") / 1e6), 6))
+          .as("velocity"))
+      .orderBy("event_id")
+  }
+  val q50Sql: String =
+    """WITH base AS (
+      |  SELECT event_id, user_id, value, ts,
+      |    row_number() OVER w AS rn,
+      |    max(value) OVER (PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_peak,
+      |    CASE WHEN value > coalesce(max(value) OVER (PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1e308) THEN 1 ELSE 0 END AS is_new_high,
+      |    lag(value) OVER w AS prev1,
+      |    lag(value, 5) OVER w AS prev5,
+      |    epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us,
+      |    CASE WHEN count(*) OVER (PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) >= 2
+      |      THEN round(stddev_samp(value) OVER (PARTITION BY user_id ORDER BY event_id
+      |        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 3) END AS vol_10
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+      |SELECT event_id, user_id, value, running_peak,
+      |  rn - max(CASE WHEN is_new_high = 1 THEN rn END) OVER (PARTITION BY user_id ORDER BY rn
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rows_since_peak,
+      |  round(value / running_peak - 1, 6) AS drawdown_from_peak,
+      |  value - prev5 AS momentum_5,
+      |  vol_10,
+      |  CASE WHEN gap_us > 0 THEN round((value - prev1) / (CAST(gap_us AS DOUBLE) / 1e6), 6) END AS velocity
+      |FROM base ORDER BY event_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q45_volatility_metrics" -> q45Volatility,
+    "q46_equity_curve" -> q46Equity,
+    "q50_obs_features" -> q50ObsFeatures)
+
+  val oracles: Map[String, String] = Map(
+    "q45_volatility_metrics" -> q45Sql,
+    "q46_equity_curve" -> q46Sql,
+    "q50_obs_features" -> q50Sql)
+}

@@ -207,15 +207,152 @@ object SimilarityQueries {
     voted.select(col("doc_id"), sig.as("simhash")).orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------------------
+  // q47 — exact n-gram Jaccard near-dup ranking: top-20 most similar pairs by
+  // exact 3-token-shingle Jaccard over a bounded block (doc_id < 150 — the
+  // full-corpus path is q43's LSH). Deterministic: jaccard rounded BEFORE the
+  // total-order ranking so both engines cut the top-20 identically.
+  val q47NgramJaccard: Q = (s, d) => {
+    val sub = withShingles(Tables.documents(s, d).filter(col("doc_id") < 150))
+      .select(col("doc_id"), col("shingles"))
+    val a = sub.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
+    val b = sub.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"), 6))
+      .select("id_a", "id_b", "jaccard")
+      .orderBy(desc("jaccard"), asc("id_a"), asc("id_b"))
+      .limit(20)
+  }
+  val q47Sql: String =
+    """WITH toked AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t
+      |  FROM documents WHERE doc_id < 150),
+      |sub AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+      |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
+      |  FROM toked WHERE len(t) >= 3),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
+      |    len(a.sh) AS la, len(b.sh) AS lb
+      |  FROM sub a JOIN sub b ON a.doc_id < b.doc_id)
+      |SELECT id_a, id_b,
+      |  round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard
+      |FROM pairs
+      |ORDER BY jaccard DESC, id_a, id_b LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q48 — winnowing document fingerprints (Schleimer et al. 2003, the
+  // rolling-hash fingerprinting every plagiarism/near-dup pipeline uses):
+  // hash ORDERED 3-token shingles, slide a w=4 window, keep each window's
+  // min hash, dedup. Pure higher-order expressions over bound columns.
+  // xxhash64 has no DuckDB equivalent — rows-only oracle; exactness is
+  // covered by SimilaritySpec.
+  private val WinnowWindow = 4
+
+  val q48Winnowing: Q = (s, d) => {
+    val t = col("__toks")
+    val n = size(t)
+    val orderedShingles = transform(
+      arrays_zip(slice(t, lit(1), n - 2), slice(t, lit(2), n - 2),
+        slice(t, lit(3), n - 2)),
+      z => concat_ws(" ", z("0"), z("1"), z("2")))
+    Tables.documents(s, d)
+      .withColumn("__toks", split(col("text"), " "))
+      .filter(n >= 2 + WinnowWindow) // >= w shingles
+      .withColumn("hs", transform(orderedShingles, sh => xxhash64(sh)))
+      .withColumn("fps", array_distinct(transform(
+        sequence(lit(1), size(col("hs")) - (WinnowWindow - 1)),
+        start => array_min(slice(col("hs"), start, lit(WinnowWindow))))))
+      .select(col("doc_id"),
+        size(col("hs")).as("n_shingles"),
+        size(col("fps")).as("n_fingerprints"),
+        array_min(col("fps")).as("min_fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------------
+  // q49 — IVF-bucketed ANN (the scale path for q40's brute force): codebook =
+  // the first 8 vectors (deterministic "training"); every vector is assigned
+  // to its nearest centroid (one broadcast of 8 rows — no shuffle of the
+  // candidate side); queries then search ONLY their own cell. At 100 TB this
+  // is the inverted-file layout: per-cell partitions, query fan-out to one
+  // cell instead of the whole corpus.
+  val q49IvfAnn: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cid"))
+    val assigned = emb.join(broadcast(cents))
+      .withColumn("ccos",
+        round(dot(col("embedding"), col("cvec")) /
+          (norm(col("embedding")) * norm(col("cvec"))), 6))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+    val queriesDf = assigned.filter(col("vec_id") >= 8 && col("vec_id") < 13)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("cid").as("qcid"))
+    val wRank = Window.partitionBy("qid").orderBy(desc("cosine"), asc("vec_id"))
+    assigned.join(broadcast(queriesDf),
+        col("cid") === col("qcid") && col("vec_id") =!= col("qid"))
+      .withColumn("cosine",
+        round(dot(col("qvec"), col("embedding")) /
+          (norm(col("qvec")) * norm(col("embedding"))), 6))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("vec_id").as("nid"), col("cosine"))
+      .orderBy("qid", "rank")
+  }
+  private def dotSql(a: String, b: String): String =
+    s"""(SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+       | FROM (SELECT unnest($a) AS x, unnest($b) AS y))""".stripMargin
+  private def normSql(a: String): String =
+    s"sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest($a) AS x)))"
+  val q49Sql: String =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT e.vec_id, e.embedding, c.cid,
+       |    round(${dotSql("e.embedding", "c.cvec")}
+       |      / (${normSql("e.embedding")} * ${normSql("c.cvec")}), 6) AS ccos
+       |  FROM embeddings e CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cid FROM (
+       |    SELECT vec_id, embedding, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rk
+       |    FROM scored) WHERE rk = 1),
+       |q AS (
+       |  SELECT vec_id AS qid, embedding AS qvec, cid
+       |  FROM assigned WHERE vec_id >= 8 AND vec_id < 13),
+       |cand AS (
+       |  SELECT q.qid, a.vec_id AS nid,
+       |    round(${dotSql("q.qvec", "a.embedding")}
+       |      / (${normSql("q.qvec")} * ${normSql("a.embedding")}), 6) AS cosine
+       |  FROM q JOIN assigned a ON q.cid = a.cid AND a.vec_id <> q.qid),
+       |ranked AS (
+       |  SELECT qid, nid, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
+       |  FROM cand)
+       |SELECT qid, rank, nid, cosine FROM ranked WHERE rank <= 3
+       |ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q40_cosine_topk" -> q40CosineTopK,
     "q41_cosine_pairs" -> q41CosinePairs,
     "q42_minhash_signatures" -> q42MinhashSig,
     "q43_minhash_lsh_pairs" -> q43MinhashPairs,
-    "q44_simhash" -> q44Simhash)
+    "q44_simhash" -> q44Simhash,
+    "q47_ngram_jaccard_topk" -> q47NgramJaccard,
+    "q48_winnowing_fingerprints" -> q48Winnowing,
+    "q49_ivf_ann" -> q49IvfAnn)
 
-  /** q42/q43/q44 hash with xxhash64 (not available in DuckDB) — rows-only. */
+  /** q42/q43/q44/q48 hash with xxhash64 (no DuckDB equivalent) — rows-only. */
   val oracles: Map[String, String] = Map(
     "q40_cosine_topk" -> q40Sql,
-    "q41_cosine_pairs" -> q41Sql)
+    "q41_cosine_pairs" -> q41Sql,
+    "q47_ngram_jaccard_topk" -> q47Sql,
+    "q49_ivf_ann" -> q49Sql)
 }

@@ -48,6 +48,47 @@ class SimilaritySpec extends SparkSpec {
     assert(hamming(sig(1L), sig(4L)) > 12)      // disjoint vocab => far
   }
 
+  test("winnowing: identical docs share fingerprints; near-dups overlap heavily") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 57).map(i => s"tok$i").mkString(" ") + " x y z"
+    val docs = Seq((1L, base), (2L, base), (3L, nearDup),
+      (4L, (1 to 60).map(i => s"other$i").mkString(" "))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-winnow").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SimilarityQueries.q48Winnowing(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getLong(3))).toMap
+    assert(rows(1L) === rows(2L))             // deterministic
+    assert(rows(1L)._2 <= rows(1L)._1 && rows(1L)._2 >= 1) // fps <= shingles
+    // 57/60 shared shingles => fingerprint counts close for near-dups
+    assert(math.abs(rows(1L)._2 - rows(3L)._2) <= 4)
+    assert(rows(1L)._3 !== rows(4L)._3)       // disjoint vocab differs
+  }
+
+  test("ivf ann: neighbors come from the query's own cluster") {
+    // two tight clusters around orthogonal centroids; centroids are vec_id<8
+    def v(x: Double, y: Double, eps: Double) =
+      Array((x + eps).toFloat, (y + eps).toFloat, 0.1f)
+    val vecs = (0L to 3L).map(i => (i, v(1.0, 0.0, i * 0.001))) ++  // centroids A
+      (4L to 7L).map(i => (i, v(0.0, 1.0, i * 0.001))) ++           // centroids B
+      (8L to 10L).map(i => (i, v(1.0, 0.0, i * 0.01))) ++           // queries in A
+      (11L to 12L).map(i => (i, v(0.0, 1.0, i * 0.01))) ++
+      (13L to 30L).map(i => (i, v(if (i % 2 == 0) 1.0 else 0.0,
+        if (i % 2 == 0) 0.0 else 1.0, i * 0.002)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    vecs.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val res = SimilarityQueries.q49IvfAnn(spark, dir).collect()
+    assert(res.nonEmpty)
+    // every neighbor of an x-axis query is itself x-axis aligned (same cell)
+    val byId = vecs.toMap
+    res.foreach { r =>
+      val q = byId(r.getAs[Long]("qid"))
+      val n = byId(r.getAs[Long]("nid"))
+      assert((q(0) > q(1)) === (n(0) > n(1)),
+        s"neighbor ${r.getAs[Long]("nid")} crossed cells for query ${r.getAs[Long]("qid")}")
+    }
+  }
+
   test("cosine top-k: nearest neighbor of a vector is its duplicate") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),

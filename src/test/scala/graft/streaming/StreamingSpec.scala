@@ -120,11 +120,12 @@ class StreamingSpec extends SparkSpec {
     val input = MemoryStream[RawEvent]
     val out = tmp("graft-ingest-out")
     val ckpt = tmp("graft-ingest-ckpt")
-    val q = Ingest.start(input.toDS(), out, ckpt, Trigger.AvailableNow())
+    // AvailableNow snapshots end offsets at start: data must exist first
     input.addData(
       raw("s1", 1700000000000L, "game.presale", game = Some("g1")),
       raw("s1", 1700000001000L, "game.tick", tick = Some(1), price = Some(1.0)),
       raw("s1", 1700000002000L, "player.buy", game = Some("g1")))
+    val q = Ingest.start(input.toDS(), out, ckpt, Trigger.AvailableNow())
     q.awaitTermination(60000)
     val files = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("doc_type="))
     assert(files.contains("doc_type=game_tick"))
