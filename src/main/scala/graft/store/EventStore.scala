@@ -108,6 +108,19 @@ object EventStore {
   def readDocType(spark: SparkSession, path: String, docType: String): DataFrame =
     read(spark, path).filter(col("doc_type") === docType)
 
+  /** File-level pruning by modification time (S4): the reference stats each
+    * parquet file and reads only those modified since the session started
+    * (`session_tracker.py:158-184`). Spark-native form: a predicate on the
+    * hidden `_metadata.file_modification_time` column — evaluated during
+    * file listing, so pruned files are never opened.
+    */
+  def readModifiedSince(spark: SparkSession, path: String,
+      since: java.sql.Timestamp): DataFrame =
+    read(spark, path)
+      .withColumn("_mod_time", col("_metadata.file_modification_time"))
+      .filter(col("_mod_time") >= lit(since))
+      .drop("_mod_time")
+
   /** Parse the nested complete_game documents out of raw_json (F3). */
   def completeGames(envelopes: DataFrame): DataFrame =
     envelopes
