@@ -39,9 +39,15 @@ object MonteCarlo {
       maxDrawdown: Double,
       peakBankroll: Double,
       ruined: Boolean,
-      nBets: Int)
+      nBets: Int,
+      sharpe: Double,
+      sortino: Double,
+      calmar: Double)
 
-  /** One simulated equity curve, deterministic in (cfg.seed, iteration id). */
+  /** One simulated equity curve, deterministic in (cfg.seed, iteration id).
+    * Sharpe/Sortino are per-bet log-return ratios (×√n); Calmar = total
+    * log growth over max drawdown (`monte_carlo.py:530-612` ratio family).
+    */
   private def runOne(id: Long, cfg: SimConfig): SimResult = {
     val rng = new java.util.Random(cfg.seed * 1000003L + id)
     var bankroll = cfg.startingBankroll
@@ -49,11 +55,18 @@ object MonteCarlo {
     var maxDD = 0.0
     var bets = 0
     var ruined = false
+    var sumLr = 0.0
+    var sumLr2 = 0.0
+    var sumNegLr2 = 0.0
     var i = 0
     while (i < cfg.gamesPerIteration && !ruined) {
       val bet = bankroll * cfg.betFraction
       if (bet > 0) {
+        val before = bankroll
         bankroll += (if (rng.nextDouble() < cfg.winRate) bet * cfg.payout else -bet)
+        val lr = math.log(bankroll / before)
+        sumLr += lr; sumLr2 += lr * lr
+        if (lr < 0) sumNegLr2 += lr * lr
         bets += 1
         if (bankroll > peak) peak = bankroll
         val dd = 1.0 - bankroll / peak
@@ -62,7 +75,14 @@ object MonteCarlo {
       }
       i += 1
     }
-    SimResult(id, bankroll, maxDD, peak, ruined, bets)
+    val n = math.max(bets, 1)
+    val mean = sumLr / n
+    val std = math.sqrt(math.max(0.0, sumLr2 / n - mean * mean))
+    val downStd = math.sqrt(sumNegLr2 / n)
+    val sharpe = if (std > 0) mean / std * math.sqrt(n.toDouble) else 0.0
+    val sortino = if (downStd > 0) mean / downStd * math.sqrt(n.toDouble) else 0.0
+    val calmar = if (maxDD > 0) sumLr / maxDD else 0.0
+    SimResult(id, bankroll, maxDD, peak, ruined, bets, sharpe, sortino, calmar)
   }
 
   def simulate(spark: SparkSession, cfg: SimConfig): DataFrame = {
@@ -89,6 +109,9 @@ object MonteCarlo {
       lit(var95).as("var_95"),
       avg(when(col("finalBankroll") <= var95, col("finalBankroll"))).as("cvar_95"),
       avg("maxDrawdown").as("mean_max_drawdown"),
-      expr("percentile(maxDrawdown, 0.95)").as("p95_max_drawdown"))
+      expr("percentile(maxDrawdown, 0.95)").as("p95_max_drawdown"),
+      avg("sharpe").as("mean_sharpe"),
+      avg("sortino").as("mean_sortino"),
+      avg("calmar").as("mean_calmar"))
   }
 }
