@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native MinHash signature: `minhash_signature(shingles, k)` returns the
+  * k-slot signature [min_h xxh64(s, seed=h) for h in 0..k-1] in ONE pass
+  * over the shingle array.
+  *
+  * Why a custom Expression (SURVEY §7.3 preference (b)): the composed
+  * built-in form — k separate `array_min(transform(shingles, xxhash64(...)))`
+  * calls — walks the array k times and allocates k intermediate arrays per
+  * row, all in interpreted higher-order-function evaluation. This operator
+  * is the inner loop of LSH dedup over every document at 100 TB; a single
+  * fused pass with no allocations is the difference between the signature
+  * stage being free vs dominating the scan.
+  *
+  * Semantics notes: null array → null; null/absent elements are skipped;
+  * an empty array yields Long.MaxValue slots (no shingles = empty set —
+  * callers filter size >= 1). Deterministic: xxhash64 of the UTF-8 bytes
+  * with the slot index as seed.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_signature expects array<string>, got ${other.sql}")
+    }
+
+  override def nullSafeEval(arr: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val s = a.getUTF8String(i)
+        var h = 0
+        while (h < numHashes) {
+          val hv = XxHash64Function.hash(s, StringType, h.toLong)
+          if (hv < mins(h)) mins(h) = hv
+          h += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override def prettyName: String = "minhash_signature"
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSignature {
+
+  /** Register `minhash_signature(arr [, k])` in the session's function
+    * registry so it is usable from both SQL text and `expr(...)` columns
+    * (the public route to a custom Expression; Column's catalyst
+    * constructor is private[sql] in Spark 4).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_signature",
+      exprs => exprs match {
+        case Seq(arr) => MinHashSignature(arr, 16)
+        case Seq(arr, k) =>
+          MinHashSignature(arr,
+            k.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          "minhash_signature(arr [, numHashes])")
+      },
+      "built-in")
+
+  def minhash_signature(spark: org.apache.spark.sql.SparkSession,
+      arrCol: String, numHashes: Int): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.expr(
+      s"minhash_signature($arrCol, $numHashes)")
+  }
+}

@@ -132,12 +132,14 @@ object SimilarityQueries {
       .drop("__toks")
   }
 
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sig = array((0 until NumHashes).map { h =>
-      array_min(transform(col("shingles"), sh => xxhash64(lit(h), sh)))
-    }: _*)
-    withShingles(docs).withColumn("minhash", sig)
-  }
+  /** Signature via the native one-pass `MinHashSignature` expression
+    * (graft.functions) — the composed-builtin form (k × array_min∘transform)
+    * walks the shingle array k times in interpreted HOF eval.
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    withShingles(docs).withColumn("minhash",
+      graft.functions.MinHashSignature.minhash_signature(
+        docs.sparkSession, "shingles", NumHashes))
 
   val q42MinhashSig: Q = (s, d) =>
     minhashSignatures(Tables.documents(s, d))
