@@ -1,0 +1,31 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension registering graft's native functions at session build
+  * time (`spark.sql.extensions=graft.functions.GraftExtensions`), so SQL
+  * users get them without calling the Scala registration helpers:
+  *
+  * {{{
+  *   SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+  *   spark.sql("SELECT minhash_signature(shingles, 16) FROM docs")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def builder(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(arr) => MinHashSignature(arr, 16)
+    case Seq(arr, k) =>
+      MinHashSignature(arr, k.eval().asInstanceOf[Number].intValue())
+    case _ =>
+      throw new IllegalArgumentException("minhash_signature(arr [, numHashes])")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      builder))
+}

@@ -1,0 +1,125 @@
+package graft
+
+import graft.domain.{Backtest, GameAnalytics}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests (SURVEY §5 plan): dedup (A6/A7), window features (W1–W4),
+  * and the sidebet labeler (D4) hold their invariants on generated data,
+  * not just hand-picked fixtures. (The scalatest-scalacheck bridge isn't on
+  * the offline classpath, so sampling is driven directly with seeded Gens —
+  * deterministic across runs.)
+  */
+class PropertySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def forAll[A](gen: Gen[A], n: Int = 10)(f: A => Unit): Unit = {
+    var seed = Seed(42L)
+    var done = 0
+    var attempts = 0
+    while (done < n && attempts < n * 20) {
+      gen.apply(Gen.Parameters.default.withSize(40), seed).foreach { a =>
+        f(a); done += 1
+      }
+      seed = seed.next
+      attempts += 1
+    }
+    assert(done === n, s"generator produced only $done/$n samples")
+  }
+
+  private val pricesGen: Gen[List[Double]] =
+    Gen.nonEmptyListOf(Gen.choose(1, 5000).map(_ / 100.0))
+
+  test("property: dedup-best-row keeps exactly one row per key, the maximal one") {
+    val rowsGen = Gen.nonEmptyListOf(for {
+      k <- Gen.choose(0, 5)
+      v <- Gen.choose(0, 1000)
+      ts <- Gen.choose(0, 1000)
+    } yield (s"k$k", v, ts))
+    forAll(rowsGen) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((k, v, ts), i) => (k, v, ts, i.toLong) }
+        .toDF("key", "v", "ts", "uid")
+      val w = Window.partitionBy("key").orderBy(desc("v"), desc("ts"), asc("uid"))
+      val kept = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn").collect()
+      val byKey = rows.groupBy(_._1)
+      assert(kept.length === byKey.size) // exactly one per key
+      kept.foreach { r =>
+        val grp = byKey(r.getString(0))
+        val best = grp.map(t => (t._2, t._3)).max // (v, ts) lexicographic
+        assert((r.getInt(1), r.getInt(2)) === best)
+      }
+    }
+  }
+
+  test("property: running max is monotone and bounds the value (W3/W4)") {
+    forAll(pricesGen) { prices =>
+      val df = prices.zipWithIndex.map { case (p, i) => (i, p) }.toDF("seq", "p")
+      val w = Window.orderBy("seq").rowsBetween(Window.unboundedPreceding, 0)
+      val got = df.withColumn("runmax", max(col("p")).over(w))
+        .orderBy("seq").collect()
+        .map(r => (r.getDouble(1), r.getDouble(2)))
+      got.foreach { case (p, m) => assert(m >= p) }
+      got.map(_._2).toList.sliding(2).foreach {
+        case List(a, b) => assert(b >= a)
+        case _ =>
+      }
+      assert(got.last._2 === prices.max)
+    }
+  }
+
+  test("property: rug tick is the argmax of single-tick drops, earliest on ties") {
+    forAll(pricesGen.suchThat(_.length >= 2)) { prices =>
+      val df = Seq((1L, prices)).toDF("game_id", "prices")
+      val row = GameAnalytics.withRugTick(df).head()
+      val drops = prices.sliding(2).map { case Seq(a, b) => a - b }.toList
+      val best = drops.max
+      assert(row.getAs[Double]("rug_drop") === best)
+      assert(row.getAs[Int]("rug_tick") === drops.indexOf(best) + 1)
+    }
+  }
+
+  test("property: sidebet labeler wins exactly the bets whose window holds the rug") {
+    val caseGen = for {
+      rug <- Gen.choose(0, 400)
+      start <- Gen.choose(0, 400)
+      amount <- Gen.choose(1, 100).map(_ / 10.0)
+    } yield (rug, start, amount)
+    forAll(Gen.nonEmptyListOf(caseGen)) { cases =>
+      val games = cases.zipWithIndex.map { case ((rug, start, amt), i) =>
+        (s"g$i", i.toLong, 500, rug,
+          Seq((s"p$i", s"u$i", amt, 5, start, start + 39, "standard")))
+      }.toDF("game_id", "timestamp", "duration_ticks", "rug_tick", "sidebets")
+      // sidebetsLabeled expects the dedup-games shape; drive the labeler core
+      val labeled = games
+        .select(col("game_id"), col("duration_ticks").as("game_duration"),
+          col("timestamp"), col("rug_tick"), explode(col("sidebets")).as("sb"))
+        .select(col("game_id"), col("rug_tick"),
+          col("sb._5").as("start_tick"), col("sb._3").as("bet_amount"))
+        .withColumn("bet_won",
+          col("rug_tick") >= col("start_tick") &&
+            col("rug_tick") <= col("start_tick") + GameAnalytics.SidebetWindowTicks - 1)
+        .collect()
+      labeled.foreach { r =>
+        val (rug, start) = (r.getAs[Int]("rug_tick"), r.getAs[Int]("start_tick"))
+        assert(r.getAs[Boolean]("bet_won") === (rug >= start && rug <= start + 39))
+      }
+    }
+  }
+
+  test("property: deterministic split is stable and partitions completely") {
+    forAll(Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty))) { ids =>
+      val df = ids.distinct.map(id => (id, 0L)).toDF("game_id", "timestamp")
+      val s1 = Backtest.withSplit(df).collect()
+        .map(r => r.getString(0) -> r.getAs[String]("split")).toMap
+      val s2 = Backtest.withSplit(df).collect()
+        .map(r => r.getString(0) -> r.getAs[String]("split")).toMap
+      assert(s1 === s2) // stable
+      assert(s1.values.forall(v => v == "train" || v == "validation"))
+    }
+  }
+}
