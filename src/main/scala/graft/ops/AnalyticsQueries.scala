@@ -31,10 +31,13 @@ object AnalyticsQueries {
   // (map-side partial aggregation; no arrays materialized).
   val q45Volatility: Q = (s, d) => {
     val prev = lag(col("value"), 1).over(wOrd)
-    val ret = col("value") / prev - 1
+    // zero/negative prices exist in the raw feed: both engines must skip
+    // them identically (ln(0) is an ERROR in DuckDB, -Infinity in Spark)
+    val ok = col("value") > 0 && prev > 0
+    val ret = when(ok, col("value") / prev - 1)
     Tables.events(s, d)
       .withColumn("ret", ret)
-      .withColumn("log_ret", log(col("value") / prev))
+      .withColumn("log_ret", when(ok, log(col("value") / prev)))
       .groupBy("user_id")
       .agg(
         count(lit(1)).as("n_ticks"),
@@ -42,15 +45,20 @@ object AnalyticsQueries {
         round(stddev_pop(col("ret")), 4).as("return_std"),
         round(stddev_pop(col("log_ret")), 4).as("log_return_std"),
         round(max(col("value")) - min(col("value")), 6).as("price_range"),
-        round(max(col("value")) / min(col("value")), 6).as("high_low_ratio"),
+        // NULL when min = 0 in BOTH engines (ANSI Spark errors on /0,
+        // DuckDB float-divides to inf)
+        when(min(col("value")) > 0,
+          round(max(col("value")) / min(col("value")), 6)).as("high_low_ratio"),
         sum(when(abs(col("ret")) > 0.10, 1).otherwise(0)).as("spike_count"))
       .orderBy("user_id")
   }
   val q45Sql: String =
     """WITH r AS (
       |  SELECT user_id, value,
-      |    value / lag(value) OVER w - 1 AS ret,
-      |    ln(value / lag(value) OVER w) AS log_ret
+      |    CASE WHEN value > 0 AND lag(value) OVER w > 0
+      |      THEN value / lag(value) OVER w - 1 END AS ret,
+      |    CASE WHEN value > 0 AND lag(value) OVER w > 0
+      |      THEN ln(value / lag(value) OVER w) END AS log_ret
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
       |SELECT user_id, count(*) AS n_ticks,
@@ -58,7 +66,8 @@ object AnalyticsQueries {
       |  round(stddev_pop(ret), 4) AS return_std,
       |  round(stddev_pop(log_ret), 4) AS log_return_std,
       |  round(max(value) - min(value), 6) AS price_range,
-      |  round(max(value) / min(value), 6) AS high_low_ratio,
+      |  CASE WHEN min(value) > 0
+      |    THEN round(max(value) / min(value), 6) END AS high_low_ratio,
       |  CAST(sum(CASE WHEN abs(ret) > 0.10 THEN 1 ELSE 0 END) AS BIGINT) AS spike_count
       |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin
 
@@ -70,7 +79,9 @@ object AnalyticsQueries {
   // product from telescoping. Running peak + drawdown on top (W3/W4 shape).
   val q46Equity: Q = (s, d) => {
     val prev = lag(col("value"), 1).over(wOrd)
-    val r = coalesce(col("value") / prev - 1, lit(0.0)) * 0.5
+    // bad ticks (zero price / zero prev / first row) participate as flat
+    val r = coalesce(when(col("value") > 0 && prev > 0,
+      col("value") / prev - 1), lit(0.0)) * 0.5
     Tables.events(s, d)
       .withColumn("lr", log(lit(1.0) + r))
       .withColumn("log_bankroll", sum(col("lr")).over(wRun))
@@ -88,7 +99,8 @@ object AnalyticsQueries {
   val q46Sql: String =
     """WITH r AS (
       |  SELECT event_id, user_id,
-      |    ln(1.0 + coalesce(value / lag(value) OVER w - 1, 0.0) * 0.5) AS lr
+      |    ln(1.0 + coalesce(CASE WHEN value > 0 AND lag(value) OVER w > 0
+      |      THEN value / lag(value) OVER w - 1 END, 0.0) * 0.5) AS lr
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
       |b AS (
