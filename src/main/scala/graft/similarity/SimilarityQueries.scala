@@ -192,22 +192,17 @@ object SimilarityQueries {
   }
 
   // ---------------------------------------------------------------------------
-  // q44 — SimHash (64-bit) near-dup signatures: per-token xxhash64, each of
-  // the 64 bits votes +1/-1, sign of the vote is the signature bit.
-  // Expressed as an explode + bit-vote aggregation (map-side combinable).
-  val q44Simhash: Q = (s, d) => {
-    val tok = Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .withColumn("h", xxhash64(col("token")))
-    val votes: Seq[org.apache.spark.sql.Column] = (0 until 64).map { b =>
-      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"b$b")
-    }
-    val voted = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-    val sig = (0 until 64).map { b =>
-      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce((a, c) => a.bitwiseOR(c))
-    voted.select(col("doc_id"), sig.as("simhash")).orderBy("doc_id")
-  }
+  // q44 — SimHash (64-bit) near-dup signatures via the native `simhash64`
+  // expression (graft.functions.SimHash64): per-token xxhash64 votes +1/−1
+  // on each bit, signature bit = sign of the net vote. One pass inside the
+  // scan — the composed form (explode + 64 conditional-sum aggregates)
+  // shuffles the whole exploded corpus for a per-document-pure value.
+  val q44Simhash: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("__toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        graft.functions.SimHash64.simhash64(s, "__toks").as("simhash"))
+      .orderBy("doc_id")
 
   // ---------------------------------------------------------------------------
   // q47 — exact n-gram Jaccard near-dup ranking: top-20 most similar pairs by
