@@ -17,18 +17,21 @@ import org.apache.spark.sql.functions._
   *   - the scale path is LSH bucketing (MinHash bands for Jaccard, bit-
   *     sampled SimHash for cosine): candidates meet only inside buckets, so
   *     the quadratic blowup is confined to bucket-local joins;
-  *   - dot products are higher-order-function folds over the array column —
-  *     sequential, deterministic, no UDF serialization.
+  *   - similarity scores go through the native one-pass expressions in
+  *     graft.functions (cosine_similarity / minhash_signature / simhash64) —
+  *     sequential, deterministic, no UDF serialization, no explode.
   */
 object SimilarityQueries {
 
-  /** Deterministic double dot-product of two float-array columns. */
-  private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-
-  private def norm(a: org.apache.spark.sql.Column) =
-    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+  /** Rounded cosine via the native one-pass expression
+    * (graft.functions.CosineSimilarity); the composed zip_with/aggregate
+    * form allocates a zipped array and walks the vectors five times per
+    * pair in interpreted HOF eval. Rounded 6dp BEFORE any ranking so Spark
+    * and DuckDB rank identical values identically.
+    */
+  private def cos6(s: org.apache.spark.sql.SparkSession,
+      aCol: String, bCol: String): org.apache.spark.sql.Column =
+    round(graft.functions.CosineSimilarity.cosine_similarity(s, aCol, bCol), 6)
 
   // ---------------------------------------------------------------------------
   // q40 — brute-force cosine top-k ANN baseline: 3 nearest neighbors for each
@@ -42,7 +45,7 @@ object SimilarityQueries {
     val cand = emb.select(col("vec_id").as("nid"), col("embedding").as("nvec"))
     val scored = cand.join(broadcast(q), col("qid") =!= col("nid"))
       .withColumn("cosine",
-        round(dot(col("qvec"), col("nvec")) / (norm(col("qvec")) * norm(col("nvec"))), 6))
+        cos6(s, "qvec", "nvec"))
     val w = Window.partitionBy("qid").orderBy(desc("cosine"), asc("nid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
@@ -78,7 +81,7 @@ object SimilarityQueries {
       .select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("cosine",
-        round(dot(col("vec_a"), col("vec_b")) / (norm(col("vec_a")) * norm(col("vec_b"))), 6))
+        cos6(s, "vec_a", "vec_b"))
       .filter(col("cosine") >= 0.35)
       .select("id_a", "id_b", "cosine")
       .orderBy("id_a", "id_b")
@@ -284,8 +287,7 @@ object SimilarityQueries {
     val wAssign = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cid"))
     val assigned = emb.join(broadcast(cents))
       .withColumn("ccos",
-        round(dot(col("embedding"), col("cvec")) /
-          (norm(col("embedding")) * norm(col("cvec"))), 6))
+        cos6(s, "embedding", "cvec"))
       .withColumn("rk", row_number().over(wAssign))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("embedding"), col("cid"))
@@ -296,8 +298,7 @@ object SimilarityQueries {
     assigned.join(broadcast(queriesDf),
         col("cid") === col("qcid") && col("vec_id") =!= col("qid"))
       .withColumn("cosine",
-        round(dot(col("qvec"), col("embedding")) /
-          (norm(col("qvec")) * norm(col("embedding"))), 6))
+        cos6(s, "qvec", "embedding"))
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= 3)
       .select(col("qid"), col("rank"), col("vec_id").as("nid"), col("cosine"))
