@@ -19,20 +19,27 @@ object TextQueries {
   private def toks = split(col("text"), " ")
 
   // ---------------------------------------------------------------------------
-  // q32 — token counting: whitespace tokenizer + char stats per document.
+  // q32 — token counting: whitespace tokenizer + char stats + a BPE-ish
+  // subword count (greedy <=4-char alphanumeric chunks, punctuation as
+  // single tokens — the shape of a merged-subword vocabulary; the regex is
+  // deliberately dialect-portable between Java and DuckDB/RE2).
+  private val SubwordRe = "[A-Za-z0-9]{1,4}|[^A-Za-z0-9 ]"
   val q32TokenCount: Q = (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         size(toks).as("n_tokens"),
         length(col("text")).as("text_len"),
-        size(array_distinct(toks)).as("n_unique_tokens"))
+        size(array_distinct(toks)).as("n_unique_tokens"),
+        size(regexp_extract_all(col("text"), lit(SubwordRe), lit(0)))
+          .as("n_subword_tokens"))
       .orderBy("doc_id")
   val q32Sql: String =
-    """SELECT doc_id, lang,
-      |  len(string_split(text, ' ')) AS n_tokens,
-      |  length(text) AS text_len,
-      |  len(list_distinct(string_split(text, ' '))) AS n_unique_tokens
-      |FROM documents ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id, lang,
+       |  len(string_split(text, ' ')) AS n_tokens,
+       |  length(text) AS text_len,
+       |  len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
+       |  len(regexp_extract_all(text, '$SubwordRe')) AS n_subword_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------------
   // q33 — quality scoring: stopword ratio, type-token ratio, mean token
