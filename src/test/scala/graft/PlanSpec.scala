@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan assertions for the registered queries: the point of a
+  * declarative engine is WHICH plan Catalyst picks — these lock in the
+  * plan properties that matter at 100 TB (scan-level pushdown, broadcast
+  * joins on dimension sides, no stray cartesian products), so a regression
+  * that silently drops a broadcast or pushdown fails CI, not a cluster run.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, d).queryExecution.sparkPlan.toString
+
+  private def scanMeta(name: String): String = {
+    // pushdown is visible on the FileSourceScan metadata
+    val df: DataFrame = SparkEntry.queries(name)(spark, d)
+    df.queryExecution.executedPlan.toString +
+      df.queryExecution.sparkPlan.treeString(verbose = true)
+  }
+
+  test("q02: filters are pushed to the parquet scan, projection pruned") {
+    val s = scanMeta("q02_filter_project")
+    assert(s.contains("PushedFilters: [IsNotNull(l_quantity)") ||
+      s.contains("GreaterThan(l_quantity,45.0)"), s.take(2000))
+    assert(!s.contains("l_comment"), "projection must prune unused columns")
+  }
+
+  test("q03/q17: dimension joins broadcast — the fact side never shuffles") {
+    assert(plan("q03_join_agg").contains("BroadcastHashJoin"))
+    assert(!plan("q03_join_agg").contains("SortMergeJoin"))
+    val star = plan("q17_star_join")
+    assert(star.contains("BroadcastHashJoin"))
+    assert(!star.contains("SortMergeJoin"),
+      "star-schema dims must broadcast, not sort-merge")
+  }
+
+  test("q04: semi join stays a semi join (no row explosion)") {
+    assert(plan("q04_semi_join").contains("LeftSemi"))
+  }
+
+  test("q27: range association broadcasts the tiny anchor side") {
+    val p = plan("q27_range_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q21-q25: window queries sort within user partitions, not globally") {
+    Seq("q21_window_lag", "q23_running_max_drawdown", "q25_peak_tracking")
+      .foreach { q =>
+        val p = plan(q)
+        assert(p.contains("Window"), s"$q should use WindowExec")
+        // windowspecdefinition(user_id, ...) = per-entity partitioning; a
+        // spec without it would global-sort on a single reducer at scale
+        assert(p.contains("windowspecdefinition(user_id"),
+          s"$q window must partition by user_id, got:\n${p.take(1500)}")
+      }
+  }
+
+  test("q44: native simhash runs inside the scan — no explode, no aggregate") {
+    val p = plan("q44_simhash")
+    assert(p.contains("simhash64"))
+    assert(!p.contains("Generate"), "no explode for a per-document function")
+    assert(!p.toLowerCase.contains("hashaggregate"),
+      "no shuffle aggregate for a per-document function")
+  }
+}
