@@ -173,9 +173,15 @@ object SimilarityQueries {
           hash(slice(col("minhash"), b * BandSize + 1, BandSize))
         }: _*)).as(Seq("band", "band_hash")))
     val ids = sort_array(collect_list(col("doc_id")))
+    // MaxBucket caps a degenerate bucket (e.g. boilerplate shingle sets
+    // hashing identically): past it, the c(k,2) explosion is quadratic and
+    // the bucket carries no discriminating signal anyway — standard LSH
+    // practice is to drop such buckets (the docs still meet in their other
+    // bands).
+    val MaxBucket = 10000
     val pairs = banded.groupBy("band", "band_hash")
       .agg(ids.as("ids"))
-      .filter(size(col("ids")) >= 2)
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= MaxBucket)
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + 2, greatest(size(col("ids")) - i - 1, lit(0))),
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
