@@ -49,11 +49,14 @@ object Ingest {
 
   /** T6 — streaming dedup of the rolling game-history re-emissions: each
     * game arrives ~10× plus a dual rug broadcast; keep the first per
-    * game_id. The watermark bounds the dedup state so it doesn't grow
-    * forever (state for games older than the delay is evicted).
+    * game_id. `dropDuplicatesWithinWatermark` (not plain `dropDuplicates`):
+    * with a key-only subset, plain dropDuplicates never evicts its state —
+    * the within-watermark variant drops per-key state once the watermark
+    * passes it, which is exactly the re-emission window semantics (a game
+    * re-broadcasts for ~10 games ≈ minutes, never days later).
     */
   def dedupGameHistory(games: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
     games
       .withWatermark("ts", watermarkDelay)
-      .dropDuplicates("game_id")
+      .dropDuplicatesWithinWatermark("game_id")
 }
