@@ -108,7 +108,10 @@ object Detectors {
     state.update(RingState(merged))
     if (merged.isEmpty) Iterator.empty
     else Iterator(RingSnapshot(gameId, merged.size,
-      merged.head._1, merged.last._1, merged.last._2))
+      // min/max scanned, not head/last: a late cross-batch tick makes the
+      // concatenation only per-batch sorted
+      merged.iterator.map(_._1).min, merged.iterator.map(_._1).max,
+      merged.last._2))
   }
 
   def ringBuffer(ticks: Dataset[Tick], capacity: Int = RingCapacity): Dataset[RingSnapshot] = {
