@@ -67,6 +67,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("normalizer output is invariant to how the stream is batched") {
+    val events = (0 until 30).map { i =>
+      raw("s1", 1000L + i * 500, if (i % 7 == 0) "game.presale" else "game.tick",
+        game = if (i % 7 == 0) Some(s"g${i / 7}") else None)
+    }
+    def runWithBatches(batches: Seq[Seq[RawEvent]]): Seq[(Long, String, String)] = {
+      val input = MemoryStream[RawEvent]
+      val name = s"norm_inv_${batches.size}"
+      val q = Normalizer.normalize(input.toDS()).writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      try {
+        batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        spark.table(name).as[NormalizedEvent].collect().sortBy(_.seq)
+          .map(n => (n.seq, n.game_id.getOrElse(""), n.phase)).toSeq
+      } finally q.stop()
+    }
+    val oneBatch = runWithBatches(Seq(events))
+    val manyBatches = runWithBatches(events.grouped(4).toSeq)
+    assert(oneBatch === manyBatches)
+    assert(oneBatch.map(_._1) === (0L until 30L)) // seq dense + monotonic
+  }
+
   test("rug pair detection suppresses the second emission within 500 ms") {
     val input = MemoryStream[Detectors.RugEmission]
     val q = Detectors.detectRugPairs(input.toDS()).writeStream
