@@ -32,5 +32,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       exprs => SimHash64(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("rh_signature"),
+      new ExpressionInfo(classOf[RandomHyperplaneSignature].getName, "rh_signature"),
+      exprs => exprs match {
+        case Seq(arr) => RandomHyperplaneSignature(arr, 16)
+        case Seq(arr, k) =>
+          RandomHyperplaneSignature(arr, k.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException("rh_signature(arr [, k])")
+      }))
   }
 }

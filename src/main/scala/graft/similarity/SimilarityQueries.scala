@@ -343,6 +343,42 @@ object SimilarityQueries {
        |SELECT qid, rank, nid, cosine FROM ranked WHERE rank <= 3
        |ORDER BY qid, rank""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q51 — random-hyperplane LSH for embedding cosine (the cosine analog of
+  // q43's MinHash banding — the SCALE path where q41's bounded brute force
+  // can't go): a 32-plane sign signature computed in one pass inside the
+  // scan (native rh_signature), banded into 4 × 8-bit buckets (banding
+  // trades one long low-recall bucket for 4 independent high-recall ones:
+  // cos 0.9 ⇒ ~75% pair recall vs ~8% unbanded), exact-cosine verification
+  // of the surviving candidates. Only (vec_id, band, byte) rows shuffle;
+  // vectors are re-joined just for the bucket pairs.
+  val q51RhLshPairs: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val signed = emb.select(col("vec_id"),
+      graft.functions.RandomHyperplaneSignature.rh_signature(s, "embedding", 32)
+        .as("sig"))
+    val banded = signed.select(col("vec_id"),
+      posexplode(array((0 until 4).map { b =>
+        shiftright(col("sig"), b * 8).bitwiseAND(lit(0xFFL))
+      }: _*)).as(Seq("band", "band_bits")))
+    val ids = sort_array(collect_list(col("vec_id")))
+    val pairs = banded.groupBy("band", "band_bits")
+      .agg(ids.as("ids"))
+      .filter(size(col("ids")).between(2, 10000))
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, greatest(size(col("ids")) - i - 1, lit(0))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+    pairs
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a")), "id_a")
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b")), "id_b")
+      .withColumn("cosine", cos6(s, "vec_a", "vec_b"))
+      .filter(col("cosine") >= 0.35)
+      .select("id_a", "id_b", "cosine")
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_cosine_topk" -> q40CosineTopK,
     "q41_cosine_pairs" -> q41CosinePairs,
@@ -351,9 +387,10 @@ object SimilarityQueries {
     "q44_simhash" -> q44Simhash,
     "q47_ngram_jaccard_topk" -> q47NgramJaccard,
     "q48_winnowing_fingerprints" -> q48Winnowing,
-    "q49_ivf_ann" -> q49IvfAnn)
+    "q49_ivf_ann" -> q49IvfAnn,
+    "q51_rh_lsh_pairs" -> q51RhLshPairs)
 
-  /** q42/q43/q44/q48 hash with xxhash64 (no DuckDB equivalent) — rows-only. */
+  /** q42/q43/q44/q48/q51 hash natively (no DuckDB equivalent) — rows-only. */
   val oracles: Map[String, String] = Map(
     "q40_cosine_topk" -> q40Sql,
     "q41_cosine_pairs" -> q41Sql,

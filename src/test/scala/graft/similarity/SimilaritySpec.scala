@@ -89,6 +89,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("rh-lsh pairs recover near-duplicate embeddings found by brute force") {
+    // three exact-duplicate groups + noise directions
+    def v(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(16)(r.nextGaussian().toFloat)
+    }
+    val vecs: Seq[(Long, Array[Float])] =
+      (0L to 2L).map(i => i -> v(1)) ++       // cluster A: ids 0,1,2
+        (3L to 4L).map(i => i -> v(2)) ++     // cluster B: ids 3,4
+        (5L to 30L).map(i => i -> v(100 + i.toInt))
+    val dir = java.nio.file.Files.createTempDirectory("graft-rhlsh").toString
+    vecs.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SimilarityQueries.q51RhLshPairs(spark, dir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // exact duplicates MUST be found (identical signature in every band)
+    val mustFind = Set((0L, 1L), (0L, 2L), (1L, 2L), (3L, 4L))
+    assert(mustFind.subsetOf(got), s"missing ${mustFind -- got}")
+    // no cross-cluster false positives survive exact verification
+    assert(!got.exists { case (a, b) => a <= 2 && b >= 3 && b <= 4 })
+  }
+
   test("cosine top-k: nearest neighbor of a vector is its duplicate") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
