@@ -42,8 +42,10 @@ object Backtest {
       col("rug_tick") >= b("start_tick") &&
         col("rug_tick") <= b("start_tick") + (GameAnalytics.SidebetWindowTicks - 1))
     // a martingale stops after its first win: a bet is placed only if the
-    // game lasted past its start AND no earlier bet in the schedule won
-    val winStart = coalesce(element_at(winning, 1)("start_tick"), lit(Int.MaxValue))
+    // game lasted past its start AND no earlier bet in the schedule won.
+    // Guarded element_at: ANSI mode errors on index 1 of an empty array.
+    val winStart = when(size(winning) > 0, element_at(winning, 1)("start_tick"))
+      .otherwise(lit(Int.MaxValue))
     val placed = filter(bets, b =>
       col("duration_ticks") > b("start_tick") && b("start_tick") <= winStart)
     val stakeLost = aggregate(placed, lit(0.0), (a, b) => a + b("stake"))

@@ -111,6 +111,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: martingale stops after its first win; pnl accounting closes") {
+    val caseGen = for {
+      duration <- Gen.choose(50, 500)
+      rug <- Gen.choose(10, 500)
+      entry <- Gen.choose(0, 400)
+      maxBets <- Gen.choose(1, 4)
+    } yield (duration, math.min(rug, duration), entry, maxBets)
+    forAll(Gen.nonEmptyListOf(caseGen)) { cases =>
+      val df = cases.zipWithIndex.map { case ((dur, rug, entry, _), i) =>
+        (s"g$i", i.toLong, dur, rug)
+      }.toDF("game_id", "timestamp", "duration_ticks", "rug_tick")
+      val maxBets = cases.head._4
+      val entry = cases.head._3 // one strategy config applies to every game
+      val base = 0.01
+      val res = Backtest.evaluateStrategy(df, entry, maxBets, base)
+        .collect().map(r => r.getAs[String]("game_id") -> r).toMap
+      cases.zipWithIndex.foreach { case ((dur, rug, _, _), i) =>
+        val r = res(s"g$i")
+        val schedule = (1 to maxBets).map(b =>
+          (entry + (b - 1) * 45, base * math.pow(2, b - 1)))
+        val winIdx = schedule.indexWhere { case (st, _) =>
+          rug >= st && rug <= st + 39 }
+        val placed = schedule.filter { case (st, _) =>
+          dur > st && (winIdx < 0 || st <= schedule(winIdx)._1) }
+        val expectedPnl =
+          (if (winIdx >= 0) schedule(winIdx)._2 * 6 else 0.0) -
+            placed.map(_._2).sum
+        assert(r.getAs[Boolean]("won") === (winIdx >= 0), s"g$i won")
+        assert(math.abs(r.getAs[Double]("pnl") - expectedPnl) < 1e-12, s"g$i pnl")
+        assert(r.getAs[Int]("n_bets_placed") === placed.size, s"g$i placed")
+      }
+    }
+  }
+
   test("property: deterministic split is stable and partitions completely") {
     forAll(Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty))) { ids =>
       val df = ids.distinct.map(id => (id, 0L)).toDF("game_id", "timestamp")

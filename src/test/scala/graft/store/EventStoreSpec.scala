@@ -98,6 +98,17 @@ class EventStoreSpec extends SparkSpec {
     assert(!back.columns.contains("price") ||
       back.filter(col("price").isNotNull).count() === 18)
   }
+
+  test("CSV export round-trips a flattened summary table (S8)") {
+    val out = Files.createTempDirectory("graft-csv").toString
+    val summary = env.groupBy("game_id")
+      .agg(count(lit(1)).as("n_events"))
+      .filter(col("game_id").isNotNull)
+    EventStore.exportCsv(summary, out)
+    val back = spark.read.option("header", "true").csv(out)
+    assert(back.columns.toSeq === Seq("game_id", "n_events"))
+    assert(back.count() === summary.count())
+  }
 }
 
 /** Canonical mini-dataset builder (FIXTURES.md §1). */
