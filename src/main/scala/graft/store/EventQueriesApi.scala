@@ -63,6 +63,26 @@ object EventQueriesApi {
     envelopes.filter(col("player_id").isNotNull)
       .select("player_id").distinct().orderBy("player_id").limit(limit)
 
+  /** Paginated listing with a WHITELISTED order-by (O3 + SURVEY §4
+    * injection-safety: `data_service.py:21-30` validates order_by against a
+    * frozenset before splicing). Typed Columns make injection structural
+    * here, but the whitelist is still enforced so an API caller cannot
+    * order by an unindexed/expensive column.
+    */
+  val AllowedGameOrderings: Set[String] = Set("game_id", "ts", "seq")
+
+  def listGamesPaged(envelopes: DataFrame, orderBy: String,
+      offset: Int, limit: Int): DataFrame = {
+    require(AllowedGameOrderings.contains(orderBy),
+      s"order_by '$orderBy' not in whitelist $AllowedGameOrderings")
+    envelopes.filter(col("game_id").isNotNull)
+      .groupBy("game_id")
+      .agg(min("ts").as("ts"), min("seq").as("seq"))
+      .orderBy(col(orderBy), col("game_id"))
+      .offset(offset).limit(limit)
+      .select("game_id", "ts")
+  }
+
   /** Store stats (`query_session.py:43-53,161-179`, A1–A3): per-doc_type
     * counts, time range, distinct sessions.
     */

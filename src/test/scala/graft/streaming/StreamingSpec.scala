@@ -161,6 +161,26 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq === Seq("2023-11-14"))
   }
 
+  test("ingest restart from checkpoint is exactly-once (no re-emission)") {
+    val input = MemoryStream[RawEvent]
+    val out = tmp("graft-restart-out")
+    val ckpt = tmp("graft-restart-ckpt")
+    input.addData(raw("s1", 1700000000000L, "game.tick", game = Some("g1"),
+      tick = Some(1), price = Some(1.0)))
+    Ingest.start(input.toDS(), out, ckpt, Trigger.AvailableNow())
+      .awaitTermination(60000)
+    assert(EventStore.read(spark, out).count() === 1)
+    // restart against the SAME checkpoint with one more event: the sink
+    // commit log must not replay the first one
+    input.addData(raw("s1", 1700000001000L, "game.tick",
+      tick = Some(2), price = Some(1.1)))
+    Ingest.start(input.toDS(), out, ckpt, Trigger.AvailableNow())
+      .awaitTermination(60000)
+    val back = EventStore.read(spark, out)
+    assert(back.count() === 2)
+    assert(back.select("seq").distinct().count() === 2) // no duplicate seq
+  }
+
   test("streaming dedup keeps first emission per game_id across batches") {
     val input = MemoryStream[Detectors.RugEmission]
     val deduped = Ingest.dedupGameHistory(input.toDS().toDF())
