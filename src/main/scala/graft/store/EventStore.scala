@@ -121,6 +121,25 @@ object EventStore {
       .filter(col("_mod_time") >= lit(since))
       .drop("_mod_time")
 
+  /** Storage stats (`data_service.py:60-86`): event/game counts + physical
+    * size. The reference stats every file driver-side; Spark-native form is
+    * the `_metadata` hidden columns aggregated per doc_type — distributed,
+    * and file sizes come from the listing (no file opens).
+    */
+  def storageStats(spark: SparkSession, path: String): DataFrame =
+    read(spark, path)
+      .select(col("doc_type"),
+        col("_metadata.file_path").as("_fp"),
+        col("_metadata.file_size").as("_fs"))
+      .groupBy("doc_type", "_fp")                 // one row per file first:
+      .agg(count(lit(1)).as("n_rows"), first(col("_fs")).as("fs"))
+      .groupBy("doc_type")
+      .agg(
+        sum("n_rows").as("n_events"),
+        count(lit(1)).as("n_files"),
+        round(sum(col("fs")) / (1024.0 * 1024.0), 3).as("storage_mb"))
+      .orderBy("doc_type")
+
   /** Parse the nested complete_game documents out of raw_json (F3). */
   def completeGames(envelopes: DataFrame): DataFrame =
     envelopes

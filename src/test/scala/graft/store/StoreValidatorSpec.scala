@@ -33,6 +33,22 @@ class StoreValidatorSpec extends SparkSpec {
     assert(after("ws_event").getAs[Boolean]("ok")) // untouched partition
   }
 
+  test("storage stats aggregate file metadata per doc_type") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sstats").toString
+    val env = Seq(
+      ("2024-01-01T00:00:00", "game_tick", "s1", 0L, "{}"),
+      ("2024-01-01T00:00:01", "game_tick", "s1", 1L, "{}"),
+      ("2024-01-01T00:00:02", "ws_event", "s1", 2L, "{}"))
+      .toDF("ts", "doc_type", "session_id", "seq", "raw_json")
+    EventStore.write(env, dir)
+    val stats = EventStore.storageStats(spark, dir).collect()
+      .map(r => r.getAs[String]("doc_type") -> r).toMap
+    assert(stats("game_tick").getAs[Long]("n_events") === 2L)
+    assert(stats("ws_event").getAs[Long]("n_events") === 1L)
+    assert(stats.values.forall(_.getAs[Long]("n_files") >= 1L))
+    assert(stats.values.forall(_.getAs[Double]("storage_mb") > 0.0))
+  }
+
   test("paged game listing enforces the order-by whitelist") {
     val env = Seq(
       ("2024-01-01T00:00:00", "game_tick", "s1", 0L, "g2", "{}"),
