@@ -55,7 +55,10 @@ object TextQueries {
         (nStop.cast("double") / nTok.cast("double")).as("stopword_ratio"),
         (nUniq.cast("double") / nTok.cast("double")).as("type_token_ratio"),
         ((length(col("text")) - nTok + 1).cast("double") / nTok.cast("double"))
-          .as("mean_token_len"))
+          .as("mean_token_len"),
+        (size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9 ]"), lit(0)))
+          .cast("double") / length(col("text")).cast("double"))
+          .as("punct_ratio"))
       .orderBy("doc_id")
   }
   val q33Sql: String =
@@ -67,7 +70,9 @@ object TextQueries {
        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
        |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS type_token_ratio,
        |  CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
-       |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_token_len
+       |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_token_len,
+       |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+       |    / CAST(length(text) AS DOUBLE) AS punct_ratio
        |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------------
