@@ -145,6 +145,63 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: withShingles equals the sliding-window reference on random docs") {
+    val docGen = Gen.nonEmptyListOf(Gen.oneOf("aa", "bb", "cc", "dd", "ee"))
+      .map(_.mkString(" "))
+    forAll(Gen.nonEmptyListOf(docGen)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.similarity.SimilarityQueries.withShingles(df)
+        .select("doc_id", "shingles").collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val toks = t.split(" ").toList
+        if (toks.length >= 3) {
+          val expected = toks.sliding(3).map(_.mkString(" ")).toList.distinct
+          assert(got(i.toLong) === expected, s"doc $i")
+        } else assert(!got.contains(i.toLong)) // filtered out
+      }
+    }
+  }
+
+  test("property: native minhash/simhash match direct reference computations") {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    def xxh(s: String, seed: Long): Long =
+      XxHash64Function.hash(UTF8String.fromString(s), StringType, seed)
+    val shingleListGen = Gen.nonEmptyListOf(
+      Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)).map(_.distinct)
+    forAll(Gen.nonEmptyListOf(shingleListGen), n = 5) { docs =>
+      val df = docs.zipWithIndex.map { case (sh, i) => (i.toLong, sh) }
+        .toDF("id", "shingles")
+      val k = 8
+      val gotMh = df.withColumn("sig",
+          graft.functions.MinHashSignature.minhash_signature(spark, "shingles", k))
+        .select("id", "sig").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      docs.zipWithIndex.foreach { case (sh, i) =>
+        val expected = (0 until k).map(h => sh.map(s => xxh(s, h.toLong)).min)
+        assert(gotMh(i.toLong) === expected, s"minhash doc $i")
+      }
+      val gotSh = df.withColumn("sig",
+          graft.functions.SimHash64.simhash64(spark, "shingles"))
+        .select("id", "sig").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      docs.zipWithIndex.foreach { case (sh, i) =>
+        val votes = Array.fill(64)(0)
+        sh.foreach { s =>
+          val h = xxh(s, 42L)
+          (0 until 64).foreach { b =>
+            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1 }
+        }
+        val expected = (0 until 64).foldLeft(0L) { (acc, b) =>
+          if (votes(b) > 0) acc | (1L << b) else acc }
+        assert(gotSh(i.toLong) === expected, s"simhash doc $i")
+      }
+    }
+  }
+
   test("property: deterministic split is stable and partitions completely") {
     forAll(Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty))) { ids =>
       val df = ids.distinct.map(id => (id, 0L)).toDF("game_id", "timestamp")
