@@ -37,9 +37,12 @@ object Backtest {
         lit(baseBetFrac * math.pow(2, i - 1)).as("stake"))
     }
     val bets = array(schedule: _*)
-    // first bet (lowest start) whose [start, start+39] window contains rug_tick
+    // first bet (lowest start) whose [start, start+39] window contains the
+    // rug tick AND that was actually placeable (the game must last past the
+    // bet's start tick — a bet never placed cannot pay out)
     val winning = filter(bets, b =>
-      col("rug_tick") >= b("start_tick") &&
+      col("duration_ticks") > b("start_tick") &&
+        col("rug_tick") >= b("start_tick") &&
         col("rug_tick") <= b("start_tick") + (GameAnalytics.SidebetWindowTicks - 1))
     // a martingale stops after its first win: a bet is placed only if the
     // game lasted past its start AND no earlier bet in the schedule won.

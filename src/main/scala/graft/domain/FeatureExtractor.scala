@@ -45,8 +45,12 @@ object FeatureExtractor {
       .withColumn("ret", ret)
       .withColumn("rn", rn)
       .withColumn("is_spike", (abs(col("ret")) > SpikeThreshold).cast("int"))
-      // 1. position in the game's lifetime (tick percentile)
-      .withColumn("tick_percentile", col("tick") / max(col("tick")).over(wg))
+      // 1. position in the game's lifetime (tick percentile); a single-tick
+      // game at tick 0 (instarug) has max(tick)=0 — guard like every other
+      // ratio here (ANSI errors on 0/0)
+      .withColumn("tick_percentile",
+        when(max(col("tick")).over(wg) > 0,
+          col("tick") / max(col("tick")).over(wg)).otherwise(0.0))
       // 2. z-score vs the whole game's distribution
       .withColumn("price_zscore",
         when(stddev(p).over(wg) > 0, (p - avg(p).over(wg)) / stddev(p).over(wg)))

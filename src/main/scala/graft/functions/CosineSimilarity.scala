@@ -57,6 +57,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var nb = 0.0
     var i = 0
     while (i < n) {
+      // propagate NULL like the HOF form this replaces (null element in
+      // zip_with/aggregate nulled the whole score, not silently 0.0)
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = get(a, i, left.dataType)
       val y = get(b, i, right.dataType)
       dot += x * y

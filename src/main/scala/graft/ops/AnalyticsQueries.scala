@@ -136,7 +136,10 @@ object AnalyticsQueries {
       .select(col("event_id"), col("user_id"), col("value"),
         runPeak.as("running_peak"),
         (col("rn") - peakRn).cast("long").as("rows_since_peak"),
-        round(col("value") / runPeak - 1, 6).as("drawdown_from_peak"),
+        // guarded like q45: a zero first price makes the running peak 0
+        // (ANSI Spark errors on /0; DuckDB float-divides)
+        when(runPeak > 0, round(col("value") / runPeak - 1, 6))
+          .as("drawdown_from_peak"),
         (col("value") - lag(col("value"), 5).over(wOrd)).as("momentum_5"),
         when(count(lit(1)).over(w10) >= 2, round(stddev(col("value")).over(w10), 3))
           .as("vol_10"),
@@ -165,7 +168,8 @@ object AnalyticsQueries {
       |SELECT event_id, user_id, value, running_peak,
       |  rn - max(CASE WHEN is_new_high = 1 THEN rn END) OVER (PARTITION BY user_id ORDER BY rn
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rows_since_peak,
-      |  round(value / running_peak - 1, 6) AS drawdown_from_peak,
+      |  CASE WHEN running_peak > 0
+      |    THEN round(value / running_peak - 1, 6) END AS drawdown_from_peak,
       |  value - prev5 AS momentum_5,
       |  vol_10,
       |  CASE WHEN gap_us > 0 THEN round((value - prev1) / (CAST(gap_us AS DOUBLE) / 1e6), 6) END AS velocity

@@ -56,15 +56,24 @@ object VectorIndex {
     */
   def build(spark: SparkSession, storePath: String, indexPath: String,
       sinceTs: String, chunkSize: Int = 8): String = {
-    val chunks = graft.store.Indexer.incrementalChunks(
-      spark, storePath, sinceTs, chunkSize)
-    if (chunks.isEmpty) return sinceTs
-    val embedded = embed(chunks)
+    // Materialize the increment ONCE: the checkpoint must be the max ts of
+    // the batch that was actually WRITTEN — re-reading the live store after
+    // the write would advance the checkpoint past events a concurrent
+    // ingest appended in between (silently never indexed), and would run
+    // the embed pipeline a second time.
+    val embedded = embed(graft.store.Indexer.incrementalChunks(
+        spark, storePath, sinceTs, chunkSize))
       .withColumn("cell",
         graft.functions.RandomHyperplaneSignature
           .rh_signature(spark, "embedding", CellBits))
-    embedded.write.mode("append").partitionBy("cell").parquet(indexPath)
-    embedded.agg(max("max_ts")).head().getString(0)
+      .persist()
+    try {
+      if (embedded.isEmpty) sinceTs
+      else {
+        embedded.write.mode("append").partitionBy("cell").parquet(indexPath)
+        embedded.agg(max("max_ts")).head().getString(0)
+      }
+    } finally embedded.unpersist()
   }
 
   /** Cell-local cosine top-k: embed the query text the same way, read ONLY

@@ -34,20 +34,33 @@ object JsonProfiler {
       .when(v.rlike("^-?[0-9]*\\.[0-9]+([eE][+-]?[0-9]+)?$"), "double")
       .otherwise("string")
 
-  /** One row per (event_name, json_path) observed up to depth 2. */
+  /** One row per (event_name, json_path) observed up to depth 2.
+    *
+    * Extraction uses bracket paths (`$['k']`) so keys containing JSONPath
+    * metacharacters ('.', '*', '[') resolve to themselves rather than being
+    * parsed as nested/wildcard paths; the reported json_path stays in the
+    * familiar dotted form. Keys that cannot be bracket-quoted safely
+    * (embedded quotes/backslashes/brackets — not valid in the profiled
+    * feeds) are skipped rather than misattributed.
+    */
   def profile(envelopes: DataFrame): DataFrame = {
     val base = envelopes.select(col("event_name"), col("raw_json"))
+    def quotable(k: Column): Column = !k.rlike("['\\\\\\]]")
     val d1 = base
       .select(col("event_name"), col("raw_json"),
         explode(json_object_keys(col("raw_json"))).as("k1"))
+      .filter(quotable(col("k1")))
       .withColumn("json_path", concat(lit("$."), col("k1")))
-      .withColumn("v", expr("get_json_object(raw_json, json_path)"))
+      .withColumn("xpath", concat(lit("$['"), col("k1"), lit("']")))
+      .withColumn("v", expr("get_json_object(raw_json, xpath)"))
     val d2 = d1.filter(col("v").startsWith("{"))
       .select(col("event_name"), col("raw_json"), col("json_path").as("p1"),
-        explode(json_object_keys(col("v"))).as("k2"))
+        col("xpath").as("xp1"), explode(json_object_keys(col("v"))).as("k2"))
+      .filter(quotable(col("k2")))
       .withColumn("json_path", concat(col("p1"), lit("."), col("k2")))
-      .withColumn("v", expr("get_json_object(raw_json, json_path)"))
-      .drop("p1", "k2")
+      .withColumn("xpath", concat(col("xp1"), lit("['"), col("k2"), lit("']")))
+      .withColumn("v", expr("get_json_object(raw_json, xpath)"))
+      .drop("p1", "xp1", "k2")
     val all = d1.select("event_name", "json_path", "v")
       .unionByName(d2.select("event_name", "json_path", "v"))
       .withColumn("vclass", classify(col("v")))

@@ -13,16 +13,22 @@ object StoreValidator {
 
   def validate(spark: SparkSession, path: String): DataFrame = {
     val env = EventStore.read(spark, path)
+    // Per (doc_type, session): duplicate seqs are always a violation.
+    // Density (gap-free seq ranges) is checked per SESSION across all
+    // doc_types — seq is assigned per session and doc_types interleave.
     val perSession = env
       .filter(col("session_id").isNotNull)
       .groupBy("doc_type", "session_id")
       .agg(count(lit(1)).as("n"),
-        min("seq").as("min_seq"), max("seq").as("max_seq"),
         countDistinct(col("seq")).as("n_distinct_seq"))
-      // a session's seq range must be dense and duplicate-free WITHIN the
-      // session (seq is assigned per session, doc_types interleave, so the
-      // per-doc_type view checks duplicates only)
       .withColumn("has_dup_seq", col("n_distinct_seq") < col("n"))
+    val sessionGaps = env
+      .filter(col("session_id").isNotNull)
+      .groupBy("session_id")
+      .agg(count(lit(1)).as("n"),
+        min("seq").as("min_seq"), max("seq").as("max_seq"))
+      .withColumn("has_gap", col("max_seq") - col("min_seq") + 1 > col("n"))
+      .agg(sum(when(col("has_gap"), 1).otherwise(0)).as("n_sessions_with_gaps"))
     env.groupBy("doc_type").agg(
         count(lit(1)).as("n_events"),
         countDistinct(col("session_id")).as("n_sessions"),
@@ -37,6 +43,7 @@ object StoreValidator {
         perSession.groupBy("doc_type")
           .agg(sum(when(col("has_dup_seq"), 1).otherwise(0)).as("n_sessions_dup_seq")),
         Seq("doc_type"), "left")
+      .crossJoin(broadcast(sessionGaps)) // one store-wide density signal
       .withColumn("ok",
         col("n_contract_violations") === 0 && col("n_bad_json") === 0 &&
           coalesce(col("n_sessions_dup_seq"), lit(0L)) === 0)

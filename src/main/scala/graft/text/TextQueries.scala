@@ -56,8 +56,11 @@ object TextQueries {
         (nUniq.cast("double") / nTok.cast("double")).as("type_token_ratio"),
         ((length(col("text")) - nTok + 1).cast("double") / nTok.cast("double"))
           .as("mean_token_len"),
-        (size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9 ]"), lit(0)))
-          .cast("double") / length(col("text")).cast("double"))
+        // guarded: an empty document has length 0 (ANSI errors on /0;
+        // DuckDB would IEEE-divide to NaN — NULL in both instead)
+        when(length(col("text")) > 0,
+          size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9 ]"), lit(0)))
+            .cast("double") / length(col("text")).cast("double"))
           .as("punct_ratio"))
       .orderBy("doc_id")
   }
@@ -71,8 +74,9 @@ object TextQueries {
        |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS type_token_ratio,
        |  CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
        |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_token_len,
-       |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
-       |    / CAST(length(text) AS DOUBLE) AS punct_ratio
+       |  CASE WHEN length(text) > 0
+       |    THEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+       |      / CAST(length(text) AS DOUBLE) END AS punct_ratio
        |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------------

@@ -132,7 +132,7 @@ class PropertySpec extends SparkSpec {
         val schedule = (1 to maxBets).map(b =>
           (entry + (b - 1) * 45, base * math.pow(2, b - 1)))
         val winIdx = schedule.indexWhere { case (st, _) =>
-          rug >= st && rug <= st + 39 }
+          dur > st && rug >= st && rug <= st + 39 } // unplaceable can't win
         val placed = schedule.filter { case (st, _) =>
           dur > st && (winIdx < 0 || st <= schedule(winIdx)._1) }
         val expectedPnl =

@@ -36,6 +36,20 @@ class JsonProfilerSpec extends SparkSpec {
     assert(prof(("playerUpdate", "$.tick")).getAs[String]("inferred_type") === "string")
   }
 
+  test("keys containing JSONPath metacharacters profile as themselves") {
+    val env = Seq(
+      ("evt", """{"a.b": 1, "c*d": "x", "plain": 2}"""),
+      ("evt", """{"a.b": 2, "c*d": "y", "plain": 3}"""))
+      .toDF("event_name", "raw_json")
+    val p = JsonProfiler.profile(env).collect()
+      .map(r => r.getString(1) -> r).toMap
+    // "$.a.b" here MEANS the literal key "a.b" (bracket-extracted), so its
+    // values 1,2 are integers — naive dotted extraction would yield null
+    assert(p("$.a.b").getAs[String]("inferred_type") === "integer")
+    assert(!p("$.a.b").getAs[Boolean]("nullable_seen"))
+    assert(p("$.c*d").getAs[String]("inferred_type") === "string")
+  }
+
   test("type conflicts collapse to mixed; objects classify as object") {
     assert(prof(("gameStateUpdate", "$.active")).getAs[String]("inferred_type")
       === "boolean")
