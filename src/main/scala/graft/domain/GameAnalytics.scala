@@ -156,7 +156,8 @@ object GameAnalytics {
         popStd(rets).as("return_std"),
         popStd(logRets).as("log_return_std"),
         (array_max(p) - array_min(p)).as("price_range"),
-        (array_max(p) / array_min(p)).as("high_low_ratio"),
+        // NULL (not an ANSI /0 error) if a malformed game contains price 0
+        when(array_min(p) > 0, array_max(p) / array_min(p)).as("high_low_ratio"),
         size(spikes).as("spike_count"),
         when(size(spikes) > 0, array_max(transform(spikes, r => abs(r))))
           .as("max_spike_magnitude"),
