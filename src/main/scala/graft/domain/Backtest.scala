@@ -61,11 +61,11 @@ object Backtest {
       .withColumn("won", size(winning) > 0)
   }
 
-  /** Deterministic 30% validation split (D9): conv(md5 prefix) / 2^32. */
+  /** Deterministic 30% validation split (D9): the shared md5-prefix bucket
+    * (graft.hashBucket01 — same expression the q18 oracle checks).
+    */
   def withSplit(df: DataFrame, validationFrac: Double = 0.30): DataFrame =
-    df.withColumn("hash01",
-      conv(substring(md5(col("game_id")), 1, 8), 16, 10).cast("double")
-        / 4294967295.0)
+    df.withColumn("hash01", graft.hashBucket01(col("game_id")))
       .withColumn("split",
         when(col("hash01") < validationFrac, "validation").otherwise("train"))
       .drop("hash01")

@@ -332,9 +332,7 @@ object CoreQueries {
   // 30% validation split, bit-exact reproducible (`backtest_service.py:262-265`).
   val q18HashSplit: Q = (s, d) =>
     Tables.orders(s, d)
-      .withColumn("bucket01",
-        (conv(substring(md5(col("o_orderkey").cast("string")), 1, 8), 16, 10)
-          .cast("double") / 4294967295.0))
+      .withColumn("bucket01", graft.hashBucket01(col("o_orderkey")))
       .withColumn("split", when(col("bucket01") < 0.30, "validation").otherwise("train"))
       .groupBy("split").agg(count(lit(1)).as("n"))
       .orderBy("split")
