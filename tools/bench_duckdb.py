@@ -12,8 +12,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     con.execute(f"SET threads TO 32")
+    import os
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"  # spark-written directory layout
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     times = {}
     for name in sorted(oracle):
