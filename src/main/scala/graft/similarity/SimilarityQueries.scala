@@ -354,12 +354,22 @@ object SimilarityQueries {
   // vectors are re-joined just for the bucket pairs.
   val q51RhLshPairs: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
+    // Band width adapts to corpus size: ~8 vectors per bucket target, so
+    // bucket population (and the c(k,2) pair step) stays constant as N
+    // grows — with FIXED 8-bit bands, 10× more vectors meant 10× fuller
+    // buckets and a quadratic candidate blowup (measured 5s at 10× sf0.1).
+    // One count action picks the width; [8, 15] bits → 4×bits ≤ 60 planes.
+    val n = emb.count()
+    val bandBits = math.min(15, math.max(8,
+      math.ceil(math.log(math.max(n / 8.0, 2.0)) / math.log(2.0)).toInt))
+    val numPlanes = 4 * bandBits
+    val mask = (1L << bandBits) - 1
     val signed = emb.select(col("vec_id"),
-      graft.functions.RandomHyperplaneSignature.rh_signature(s, "embedding", 32)
-        .as("sig"))
+      graft.functions.RandomHyperplaneSignature
+        .rh_signature(s, "embedding", numPlanes).as("sig"))
     val banded = signed.select(col("vec_id"),
       posexplode(array((0 until 4).map { b =>
-        shiftright(col("sig"), b * 8).bitwiseAND(lit(0xFFL))
+        shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask))
       }: _*)).as(Seq("band", "band_bits")))
     val ids = sort_array(collect_list(col("vec_id")))
     val pairs = banded.groupBy("band", "band_bits")
