@@ -187,10 +187,24 @@ object SimilarityQueries {
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
-    val docShingles = withShingles(Tables.documents(s, d))
-    pairs
-      .join(docShingles.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
-      .join(docShingles.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+    // join TEXT first, derive shingles only for the few surviving candidate
+    // rows — joining a shingle-projected scan would re-shingle the whole
+    // corpus on the probe side of each join
+    val docsTxt = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    def addShingles(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+      val t = col(s"__t_$outCol")
+      val n = size(t)
+      df.withColumn(s"__t_$outCol", split(col(textCol), " "))
+        .withColumn(outCol, array_distinct(transform(
+          arrays_zip(slice(t, lit(1), n - 2), slice(t, lit(2), n - 2),
+            slice(t, lit(3), n - 2)),
+          z => concat_ws(" ", z("0"), z("1"), z("2")))))
+        .drop(s"__t_$outCol", textCol)
+    }
+    val joined = pairs
+      .join(docsTxt.select(col("doc_id").as("id_a"), col("text").as("text_a")), "id_a")
+      .join(docsTxt.select(col("doc_id").as("id_b"), col("text").as("text_b")), "id_b")
+    addShingles(addShingles(joined, "text_a", "sh_a"), "text_b", "sh_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
