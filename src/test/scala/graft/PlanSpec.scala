@@ -48,7 +48,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q21-q25: window queries sort within user partitions, not globally") {
-    Seq("q21_window_lag", "q23_running_max_drawdown", "q25_peak_tracking")
+    Seq("q21_window_lag", "q23_running_max_drawdown", "q25_peak_tracking",
+      "q45_volatility_metrics", "q46_equity_curve", "q50_obs_features")
       .foreach { q =>
         val p = plan(q)
         assert(p.contains("Window"), s"$q should use WindowExec")
