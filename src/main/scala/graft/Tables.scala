@@ -42,4 +42,31 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Table row count from parquet footer metadata — a driver-side footer
+    * read, NOT a Spark job. Adaptive operators (e.g. q51's LSH band width)
+    * need N before planning; running `df.count()` for it costs a full scan
+    * action per invocation, while every footer already records its row
+    * count. On a real warehouse this is the catalog's rowCount statistic.
+    */
+  def rowCount(spark: SparkSession, sfDir: String, name: String): Long = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(s"$sfDir/$name.parquet")
+    val fs = root.getFileSystem(conf)
+    val status = fs.getFileStatus(root)
+    val files =
+      if (status.isDirectory)
+        fs.listStatus(root).filter { f =>
+          val n = f.getPath.getName
+          f.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }.toSeq
+      else Seq(status)
+    files.map { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromStatus(f, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
 }

@@ -1,8 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -18,13 +19,19 @@ import org.apache.spark.sql.types._
   * of every ANN/near-dup scoring join; one fused pass with no allocation
   * keeps the similarity stage inside the scan/join at 100 TB.
   *
+  * Codegen: participates in whole-stage codegen (no CodegenFallback). The
+  * generated code calls [[compute]], which returns a boxed Double so the
+  * null result cases below survive the boundary (one box per row vs the
+  * fallback's whole-InternalRow boxing).
+  *
   * Null array or length mismatch → null; zero-norm input → null (callers
   * treat "no magnitude" as no similarity, matching SQL NULL semantics).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
   private def elemOk(t: DataType): Boolean = t match {
     case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) => true
@@ -47,9 +54,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
     case _ => throw new IllegalStateException
   }
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
+  /** One fused pass; boxed Double (null = mismatch / zero norm / null
+    * element) shared by interpreted eval and generated code. */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
     var dot = 0.0
@@ -68,7 +75,25 @@ case class CosineSimilarity(left: Expression, right: Expression)
       i += 1
     }
     if (na == 0.0 || nb == 0.0) null
-    else dot / (math.sqrt(na) * math.sqrt(nb))
+    else java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cosExpr", this, classOf[CosineSimilarity].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("cos")
+      s"""
+         |java.lang.Double $boxed = $ref.compute($a, $b);
+         |if ($boxed == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $boxed.doubleValue();
+         |}
+       """.stripMargin
+    })
   }
 
   override def prettyName: String = "cosine_similarity"
@@ -79,11 +104,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 object CosineSimilarity {
+  /** Idempotent (see MinHashSignature.register). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_similarity",
-      exprs => CosineSimilarity(exprs(0), exprs(1)),
-      "built-in")
+    if (!spark.sessionState.functionRegistry
+        .functionExists(FunctionIdentifier("cosine_similarity")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "cosine_similarity",
+        exprs => CosineSimilarity(exprs(0), exprs(1)),
+        "built-in")
 
   def cosine_similarity(spark: org.apache.spark.sql.SparkSession,
       aCol: String, bCol: String): Column = {

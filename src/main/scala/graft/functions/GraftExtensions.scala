@@ -41,5 +41,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           RandomHyperplaneSignature(arr, k.eval().asInstanceOf[Number].intValue())
         case _ => throw new IllegalArgumentException("rh_signature(arr [, k])")
       }))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      exprs => CosineSimilarity(exprs(0), exprs(1))))
   }
 }

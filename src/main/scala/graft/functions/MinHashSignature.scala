@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -19,13 +19,17 @@ import org.apache.spark.sql.types._
   * fused pass with no allocations is the difference between the signature
   * stage being free vs dominating the scan.
   *
+  * Codegen: participates in whole-stage codegen (no CodegenFallback) — the
+  * generated code calls [[compute]] directly on the array, so rows are never
+  * boxed into an InternalRow and the surrounding stage stays fused.
+  *
   * Semantics notes: null array → null; null/absent elements are skipped;
   * an empty array yields Long.MaxValue slots (no shingles = empty set —
   * callers filter size >= 1). Deterministic: xxhash64 of the UTF-8 bytes
   * with the slot index as seed.
   */
 case class MinHashSignature(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -38,8 +42,8 @@ case class MinHashSignature(child: Expression, numHashes: Int)
           s"minhash_signature expects array<string>, got ${other.sql}")
     }
 
-  override def nullSafeEval(arr: Any): Any = {
-    val a = arr.asInstanceOf[ArrayData]
+  /** One fused pass; shared by interpreted eval and generated code. */
+  def compute(a: ArrayData): ArrayData = {
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     val n = a.numElements()
@@ -58,6 +62,13 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     new GenericArrayData(mins)
   }
 
+  override def nullSafeEval(arr: Any): Any = compute(arr.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashExpr", this, classOf[MinHashSignature].getName)
+    nullSafeCodeGen(ctx, ev, arr => s"${ev.value} = $ref.compute($arr);")
+  }
+
   override def prettyName: String = "minhash_signature"
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -66,23 +77,26 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 
 object MinHashSignature {
 
+  private def build(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(arr) => MinHashSignature(arr, 16)
+    case Seq(arr, k) =>
+      MinHashSignature(arr, k.eval().asInstanceOf[Number].intValue())
+    case _ => throw new IllegalArgumentException(
+      "minhash_signature(arr [, numHashes])")
+  }
+
   /** Register `minhash_signature(arr [, k])` in the session's function
     * registry so it is usable from both SQL text and `expr(...)` columns
     * (the public route to a custom Expression; Column's catalyst
-    * constructor is private[sql] in Spark 4).
+    * constructor is private[sql] in Spark 4). Idempotent: sessions built
+    * through GraftExtensions already have it — skip the re-registration
+    * (and its per-query "replaced a previously registered function" churn).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_signature",
-      exprs => exprs match {
-        case Seq(arr) => MinHashSignature(arr, 16)
-        case Seq(arr, k) =>
-          MinHashSignature(arr,
-            k.eval().asInstanceOf[Number].intValue())
-        case _ => throw new IllegalArgumentException(
-          "minhash_signature(arr [, numHashes])")
-      },
-      "built-in")
+    if (!spark.sessionState.functionRegistry
+        .functionExists(FunctionIdentifier("minhash_signature")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "minhash_signature", build, "built-in")
 
   def minhash_signature(spark: org.apache.spark.sql.SparkSession,
       arrCol: String, numHashes: Int): Column = {

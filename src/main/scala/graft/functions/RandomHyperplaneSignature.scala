@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -18,9 +18,11 @@ import org.apache.spark.sql.types._
   * from a splitmix of (plane, dimension) — no stored codebook, identical on
   * every executor, and the whole k-plane projection happens in ONE pass
   * over the vector (k·d sign-flips and adds, no allocation).
+  *
+  * Codegen: participates in whole-stage codegen (no CodegenFallback).
   */
 case class RandomHyperplaneSignature(child: Expression, numPlanes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(numPlanes >= 1 && numPlanes <= 63, "numPlanes in [1, 63]")
 
   override def dataType: DataType = LongType
@@ -43,13 +45,16 @@ case class RandomHyperplaneSignature(child: Expression, numPlanes: Int)
     if ((z & 1L) == 1L) 1.0 else -1.0
   }
 
-  private val isFloat = child.dataType match {
+  // lazy: child.dataType is unresolvable at construction time (programmatic
+  // use with an unresolved child would throw UnresolvedException from an
+  // eager val — Spark built-ins defer dataType access the same way)
+  private lazy val isFloat = child.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
   }
 
-  override def nullSafeEval(arr: Any): Any = {
-    val a = arr.asInstanceOf[ArrayData]
+  /** One pass; shared by interpreted eval and generated code. */
+  def compute(a: ArrayData): Long = {
     val n = a.numElements()
     val acc = new Array[Double](numPlanes)
     var i = 0
@@ -73,6 +78,13 @@ case class RandomHyperplaneSignature(child: Expression, numPlanes: Int)
     sig
   }
 
+  override def nullSafeEval(arr: Any): Any = compute(arr.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("rhExpr", this, classOf[RandomHyperplaneSignature].getName)
+    nullSafeCodeGen(ctx, ev, arr => s"${ev.value} = $ref.compute($arr);")
+  }
+
   override def prettyName: String = "rh_signature"
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -80,16 +92,19 @@ case class RandomHyperplaneSignature(child: Expression, numPlanes: Int)
 }
 
 object RandomHyperplaneSignature {
+  /** Idempotent (see MinHashSignature.register). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rh_signature",
-      exprs => exprs match {
-        case Seq(arr) => RandomHyperplaneSignature(arr, 16)
-        case Seq(arr, k) =>
-          RandomHyperplaneSignature(arr, k.eval().asInstanceOf[Number].intValue())
-        case _ => throw new IllegalArgumentException("rh_signature(arr [, k])")
-      },
-      "built-in")
+    if (!spark.sessionState.functionRegistry
+        .functionExists(FunctionIdentifier("rh_signature")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "rh_signature",
+        exprs => exprs match {
+          case Seq(arr) => RandomHyperplaneSignature(arr, 16)
+          case Seq(arr, k) =>
+            RandomHyperplaneSignature(arr, k.eval().asInstanceOf[Number].intValue())
+          case _ => throw new IllegalArgumentException("rh_signature(arr [, k])")
+        },
+        "built-in")
 
   def rh_signature(spark: org.apache.spark.sql.SparkSession,
       arrCol: String, numPlanes: Int): Column = {

@@ -1,8 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -16,9 +17,13 @@ import org.apache.spark.sql.types._
   * pure per-document function. This expression computes the signature in one
   * pass inside the scan: no explode, no shuffle, nothing leaves the
   * partition but (doc_id, signature).
+  *
+  * Codegen: participates in whole-stage codegen (no CodegenFallback) — the
+  * generated code calls [[compute]] on the raw array, so the per-document
+  * inner loop runs without InternalRow boxing.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -31,8 +36,8 @@ case class SimHash64(child: Expression)
           s"simhash64 expects array<string>, got ${other.sql}")
     }
 
-  override def nullSafeEval(arr: Any): Any = {
-    val a = arr.asInstanceOf[ArrayData]
+  /** One pass; shared by interpreted eval and generated code. */
+  def compute(a: ArrayData): Long = {
     val votes = new Array[Int](64)
     var i = 0
     val n = a.numElements()
@@ -56,6 +61,13 @@ case class SimHash64(child: Expression)
     sig
   }
 
+  override def nullSafeEval(arr: Any): Any = compute(arr.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhashExpr", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, arr => s"${ev.value} = $ref.compute($arr);")
+  }
+
   override def prettyName: String = "simhash64"
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -63,11 +75,14 @@ case class SimHash64(child: Expression)
 }
 
 object SimHash64 {
+  /** Idempotent (see MinHashSignature.register). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64",
-      exprs => SimHash64(exprs.head),
-      "built-in")
+    if (!spark.sessionState.functionRegistry
+        .functionExists(FunctionIdentifier("simhash64")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "simhash64",
+        exprs => SimHash64(exprs.head),
+        "built-in")
 
   def simhash64(spark: org.apache.spark.sql.SparkSession, arrCol: String): Column = {
     register(spark)

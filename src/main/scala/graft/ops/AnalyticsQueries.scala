@@ -138,13 +138,17 @@ object AnalyticsQueries {
         (col("rn") - peakRn).cast("long").as("rows_since_peak"),
         // guarded like q45: a zero first price makes the running peak 0
         // (ANSI Spark errors on /0; DuckDB float-divides)
-        when(runPeak > 0, round(col("value") / runPeak - 1, 6))
+        // `+ 0.0` normalizes IEEE -0.0 to +0.0 (x + (+0.0) = +0.0 when
+        // x = -0.0): DuckDB's round keeps the sign of a tiny negative,
+        // Spark's BigDecimal round drops it — bit-identical hashes need one
+        // convention on both sides
+        when(runPeak > 0, round(col("value") / runPeak - 1, 6) + 0.0)
           .as("drawdown_from_peak"),
         (col("value") - lag(col("value"), 5).over(wOrd)).as("momentum_5"),
         when(count(lit(1)).over(w10) >= 2, round(stddev(col("value")).over(w10), 3))
           .as("vol_10"),
         when(gapUs > 0,
-          round((col("value") - prev1) / (gapUs.cast("double") / 1e6), 6))
+          round((col("value") - prev1) / (gapUs.cast("double") / 1e6), 6) + 0.0)
           .as("velocity"))
       .orderBy("event_id")
   }
@@ -169,10 +173,10 @@ object AnalyticsQueries {
       |  rn - max(CASE WHEN is_new_high = 1 THEN rn END) OVER (PARTITION BY user_id ORDER BY rn
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rows_since_peak,
       |  CASE WHEN running_peak > 0
-      |    THEN round(value / running_peak - 1, 6) END AS drawdown_from_peak,
+      |    THEN round(value / running_peak - 1, 6) + 0.0 END AS drawdown_from_peak,
       |  value - prev5 AS momentum_5,
       |  vol_10,
-      |  CASE WHEN gap_us > 0 THEN round((value - prev1) / (CAST(gap_us AS DOUBLE) / 1e6), 6) END AS velocity
+      |  CASE WHEN gap_us > 0 THEN round((value - prev1) / (CAST(gap_us AS DOUBLE) / 1e6), 6) + 0.0 END AS velocity
       |FROM base ORDER BY event_id""".stripMargin
 
   val queries: Map[String, Q] = Map(

@@ -1,7 +1,7 @@
 package graft.similarity
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -114,26 +114,56 @@ object SimilarityQueries {
   private val NumHashes = 16
   private val BandSize = 4
 
-  /** Adds a `shingles` column: the distinct 3-token shingle set of `text`.
-    *
-    * The token array is bound as a real column first, and shingles come from
-    * zipping three shifted slices — NOT from element_at inside a transform
-    * lambda over an inlined split(): optimizer inlining re-evaluates split()
-    * per lambda element, turning shingling O(n²) per document (measured ~9×
-    * slower at sf0.1). Keeps docs with >= 3 tokens.
+  /** Distinct 3-token shingle set of a BOUND token-array column `t` —
+    * zipping three shifted slices, NOT element_at inside a transform lambda
+    * over an inlined split(): optimizer inlining re-evaluates split() per
+    * lambda element, turning shingling O(n²) per document (measured ~9×
+    * slower at sf0.1). Fewer than 3 tokens → empty array (the slice length
+    * is clamped at 0).
     */
-  def withShingles(docs: DataFrame): DataFrame = {
-    val t = col("__toks")
-    val n = size(t)
-    docs
-      .withColumn("__toks", split(col("text"), " "))
-      .filter(n >= 3)
-      .withColumn("shingles", array_distinct(transform(
-        arrays_zip(slice(t, lit(1), n - 2), slice(t, lit(2), n - 2),
-          slice(t, lit(3), n - 2)),
-        z => concat_ws(" ", z("0"), z("1"), z("2")))))
-      .drop("__toks")
+  private def shingleArray(t: Column): Column = {
+    val m = greatest(size(t) - 2, lit(0))
+    array_distinct(transform(
+      arrays_zip(slice(t, lit(1), m), slice(t, lit(2), m), slice(t, lit(3), m)),
+      z => concat_ws(" ", z("0"), z("1"), z("2"))))
   }
+
+  /** Adds `outCol`: the distinct 3-token shingle set of `textCol`. The token
+    * array is bound as a real column first (see [[shingleArray]]).
+    */
+  def addShingles(df: DataFrame, textCol: String, outCol: String,
+      dropText: Boolean = false): DataFrame = {
+    val tmp = s"__t_$outCol"
+    val out = df.withColumn(tmp, split(col(textCol), " "))
+      .withColumn(outCol, shingleArray(col(tmp)))
+      .drop(tmp)
+    if (dropText) out.drop(textCol) else out
+  }
+
+  /** Adds a `shingles` column over `text`; keeps docs with >= 3 tokens
+    * (>= 3 tokens ⇔ at least one shingle).
+    */
+  def withShingles(docs: DataFrame): DataFrame =
+    addShingles(docs, "text", "shingles").filter(size(col("shingles")) >= 1)
+
+  /** LSH bucket membership → distinct unordered candidate pairs: expects an
+    * `ids` column (the sorted bucket member ids) and emits (id_a, id_b) with
+    * id_a < id_b via array combinatorics — bucket membership is small by
+    * construction (that's the point of banding), so the c(k,2) expansion per
+    * bucket is bounded. `maxBucket` caps a degenerate bucket (e.g.
+    * boilerplate shingle sets hashing identically): past it, the expansion
+    * is quadratic and the bucket carries no discriminating signal anyway —
+    * standard LSH practice is to drop such buckets (the docs still meet in
+    * their other bands).
+    */
+  private def bucketPairs(buckets: DataFrame, maxBucket: Int = 10000): DataFrame =
+    buckets
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, greatest(size(col("ids")) - i - 1, lit(0))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
 
   /** Signature via the native one-pass `MinHashSignature` expression
     * (graft.functions) — the composed-builtin form (k × array_min∘transform)
@@ -144,10 +174,15 @@ object SimilarityQueries {
       graft.functions.MinHashSignature.minhash_signature(
         docs.sparkSession, "shingles", NumHashes))
 
+  // Output is posexploded to (doc_id, slot, min_hash) scalars: the harness
+  // sorts result rows with pandas, and a raw array<bigint> column is
+  // unhashable there (r02: "unhashable type: numpy.ndarray") — scalar rows
+  // make the rows-only check actually run, and expose each signature slot
+  // to direct comparison.
   val q42MinhashSig: Q = (s, d) =>
     minhashSignatures(Tables.documents(s, d))
-      .select(col("doc_id"), col("minhash"))
-      .orderBy("doc_id")
+      .select(col("doc_id"), posexplode(col("minhash")).as(Seq("slot", "min_hash")))
+      .orderBy("doc_id", "slot")
 
   // ---------------------------------------------------------------------------
   // q43 — MinHash-LSH candidate pairs + exact Jaccard verification: band the
@@ -173,38 +208,16 @@ object SimilarityQueries {
           hash(slice(col("minhash"), b * BandSize + 1, BandSize))
         }: _*)).as(Seq("band", "band_hash")))
     val ids = sort_array(collect_list(col("doc_id")))
-    // MaxBucket caps a degenerate bucket (e.g. boilerplate shingle sets
-    // hashing identically): past it, the c(k,2) explosion is quadratic and
-    // the bucket carries no discriminating signal anyway — standard LSH
-    // practice is to drop such buckets (the docs still meet in their other
-    // bands).
-    val MaxBucket = 10000
-    val pairs = banded.groupBy("band", "band_hash")
-      .agg(ids.as("ids"))
-      .filter(size(col("ids")) >= 2 && size(col("ids")) <= MaxBucket)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, greatest(size(col("ids")) - i - 1, lit(0))),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-      .distinct()
+    val pairs = bucketPairs(banded.groupBy("band", "band_hash").agg(ids.as("ids")))
     // join TEXT first, derive shingles only for the few surviving candidate
     // rows — joining a shingle-projected scan would re-shingle the whole
     // corpus on the probe side of each join
     val docsTxt = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    def addShingles(df: DataFrame, textCol: String, outCol: String): DataFrame = {
-      val t = col(s"__t_$outCol")
-      val n = size(t)
-      df.withColumn(s"__t_$outCol", split(col(textCol), " "))
-        .withColumn(outCol, array_distinct(transform(
-          arrays_zip(slice(t, lit(1), n - 2), slice(t, lit(2), n - 2),
-            slice(t, lit(3), n - 2)),
-          z => concat_ws(" ", z("0"), z("1"), z("2")))))
-        .drop(s"__t_$outCol", textCol)
-    }
     val joined = pairs
       .join(docsTxt.select(col("doc_id").as("id_a"), col("text").as("text_a")), "id_a")
       .join(docsTxt.select(col("doc_id").as("id_b"), col("text").as("text_b")), "id_b")
-    addShingles(addShingles(joined, "text_a", "sh_a"), "text_b", "sh_b")
+    addShingles(addShingles(joined, "text_a", "sh_a", dropText = true),
+        "text_b", "sh_b", dropText = true)
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
@@ -372,8 +385,10 @@ object SimilarityQueries {
     // bucket population (and the c(k,2) pair step) stays constant as N
     // grows — with FIXED 8-bit bands, 10× more vectors meant 10× fuller
     // buckets and a quadratic candidate blowup (measured 5s at 10× sf0.1).
-    // One count action picks the width; [8, 15] bits → 4×bits ≤ 60 planes.
-    val n = emb.count()
+    // N comes from parquet footer metadata (catalog statistics at scale),
+    // NOT a count() action — that was a full extra scan job per invocation.
+    // [8, 15] bits → 4×bits ≤ 60 planes.
+    val n = Tables.rowCount(s, d, "embeddings")
     val bandBits = math.min(15, math.max(8,
       math.ceil(math.log(math.max(n / 8.0, 2.0)) / math.log(2.0)).toInt))
     val numPlanes = 4 * bandBits
@@ -386,14 +401,7 @@ object SimilarityQueries {
         shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask))
       }: _*)).as(Seq("band", "band_bits")))
     val ids = sort_array(collect_list(col("vec_id")))
-    val pairs = banded.groupBy("band", "band_bits")
-      .agg(ids.as("ids"))
-      .filter(size(col("ids")).between(2, 10000))
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, greatest(size(col("ids")) - i - 1, lit(0))),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-      .distinct()
+    val pairs = bucketPairs(banded.groupBy("band", "band_bits").agg(ids.as("ids")))
     pairs
       .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a")), "id_a")
       .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b")), "id_b")
