@@ -134,6 +134,14 @@ object GameAnalytics {
     * POPULATION stddev explicitly via aggregate(), documented deviation from
     * SQL STDDEV (sample).
     */
+  /** Vol-of-vol window width (W7, `volatility_study.py:114-118`): pandas
+    * `Series(returns).rolling(10).std()` — SAMPLE std over each full 10-value
+    * window (shorter prefixes are NaN and dropped) — then POPULATION std of
+    * that rolling series; 0.0 when fewer than 20 returns exist.
+    */
+  val VolOfVolWindow = 10
+  val VolOfVolMinReturns = 20
+
   def volatilityMetrics(dedupedGames: DataFrame): DataFrame = {
     val p = col("prices")
     def mean(arr: Column): Column =
@@ -142,11 +150,31 @@ object GameAnalytics {
       val m = mean(arr)
       sqrt(aggregate(arr, lit(0.0), (a, x) => a + (x - m) * (x - m)) / size(arr))
     }
+    // Sample std of a fixed-width slice in ONE pass (sum + sum-of-squares):
+    // the mean-centered form would re-evaluate the inner mean aggregate per
+    // element (the O(n·w²) HOF-inlining pitfall). greatest() clamps the
+    // cancellation residue of identical-value windows to 0.
+    def sampleStdSlice(sl: Column): Column = {
+      val acc = aggregate(sl,
+        struct(lit(0.0).as("s"), lit(0.0).as("s2")),
+        (a, x) => struct((a("s") + x).as("s"), (a("s2") + x * x).as("s2")))
+      val n = size(sl).cast("double")
+      sqrt(greatest(
+        (acc("s2") - acc("s") * acc("s") / n) / (n - lit(1.0)), lit(0.0)))
+    }
     val rets = zip_with(slice(p, lit(2), size(p) - 1), slice(p, lit(1), size(p) - 1),
       (cur, prev) => (cur - prev) / prev)
     val logRets = zip_with(slice(p, lit(2), size(p) - 1), slice(p, lit(1), size(p) - 1),
       (cur, prev) => log(cur / prev))
     val spikes = filter(rets, r => abs(r) > lit(0.10))
+    // W7 vol-of-vol: rolling sample std over every full 10-return window
+    // (1-based slice start i-9 for window ending at return i), then
+    // population std of the rolling series. Gated exactly like the study:
+    // fewer than 20 returns => 0.0.
+    val nRets = size(rets)
+    val rollingVols = transform(
+      sequence(lit(VolOfVolWindow), nRets),
+      i => sampleStdSlice(slice(rets, i - lit(VolOfVolWindow - 1), lit(VolOfVolWindow))))
     dedupedGames
       .filter(size(p) >= 2)
       .select(
@@ -163,6 +191,10 @@ object GameAnalytics {
           .as("max_spike_magnitude"),
         when(size(spikes) > 0, mean(transform(spikes, r => abs(r))))
           .as("avg_spike_magnitude"),
+        // guard keeps sequence() ascending: below 20 returns the rolling
+        // series is never built (sequence(10, n<10) would run DESCENDING)
+        when(nRets >= VolOfVolMinReturns, popStd(rollingVols)).otherwise(0.0)
+          .as("vol_of_vol"),
         col("peak_multiplier"),
         element_at(p, -1).as("final_price"),
         (size(p) >= OptimalZoneStartTick).as("is_profitable_sidebet_zone"))

@@ -32,6 +32,7 @@ object VolatilityAggregator {
       spike_count: Int,
       max_spike_magnitude: Double,
       avg_spike_magnitude: Double,
+      vol_of_vol: Double,
       final_price: Double)
 
   val SpikeThreshold = 0.10 // |return| > 10% (volatility_study.py:98-104)
@@ -41,6 +42,20 @@ object VolatilityAggregator {
     val m = xs.sum / xs.size
     math.sqrt(xs.map(x => (x - m) * (x - m)).sum / xs.size)
   }
+
+  private def sampleStd(xs: Seq[Double]): Double = {
+    val m = xs.sum / xs.size
+    math.sqrt(xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1))
+  }
+
+  /** W7 vol-of-vol (`volatility_study.py:114-118`): pandas rolling(10).std()
+    * — SAMPLE std of every full 10-return window — then POPULATION std of
+    * the rolling series; 0.0 below 20 returns.
+    */
+  def volOfVol(rets: IndexedSeq[Double]): Double =
+    if (rets.size < GameAnalytics.VolOfVolMinReturns) 0.0
+    else popStd((GameAnalytics.VolOfVolWindow to rets.size)
+      .map(i => sampleStd(rets.slice(i - GameAnalytics.VolOfVolWindow, i))))
 
   /** Compute the metrics from an ORDERED price series (shared by the
     * aggregator's finish and by tests comparing against the array form).
@@ -65,6 +80,7 @@ object VolatilityAggregator {
       max_spike_magnitude = if (spikes.nonEmpty) spikes.max else 0.0,
       avg_spike_magnitude =
         if (spikes.nonEmpty) spikes.sum / spikes.size else 0.0,
+      vol_of_vol = volOfVol(rets),
       final_price = prices.last)
   }
 

@@ -179,13 +179,133 @@ object AnalyticsQueries {
       |  CASE WHEN gap_us > 0 THEN round((value - prev1) / (CAST(gap_us AS DOUBLE) / 1e6), 6) + 0.0 END AS velocity
       |FROM base ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q52 — vol-of-vol (W7, `scripts/volatility_study.py:114-118`): pandas
+  // rolling(10).std() over tick returns — SAMPLE std, full windows only
+  // (shorter prefixes are NaN and dropped) — then POPULATION std of the
+  // rolling series per entity; 0.0 below 20 returns. Relational form: rank
+  // the non-null returns, rolling stddev_samp over 9 preceding, keep frames
+  // with rn >= 10, stddev_pop in the final groupBy.
+  val q52VolOfVol: Q = (s, d) => {
+    val prev = lag(col("value"), 1).over(wOrd)
+    val ok = col("value") > 0 && prev > 0
+    val ret = when(ok, col("value") / prev - 1)
+    val base = Tables.events(s, d)
+      .withColumn("ret", ret)
+      .filter(col("ret").isNotNull)
+    val wr = Window.partitionBy("user_id").orderBy("event_id")
+    val w10 = wr.rowsBetween(-9, 0)
+    base
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("roll_vol",
+        when(col("rn") >= 10, stddev(col("ret")).over(w10)))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_returns"),
+        when(count(lit(1)) >= 20,
+          round(coalesce(stddev_pop(col("roll_vol")), lit(0.0)), 4))
+          .otherwise(0.0).as("vol_of_vol"))
+      .orderBy("user_id")
+  }
+  val q52Sql: String =
+    """WITH r AS (
+      |  SELECT user_id, event_id,
+      |    CASE WHEN value > 0 AND lag(value) OVER w > 0
+      |      THEN value / lag(value) OVER w - 1 END AS ret
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+      |f AS (SELECT user_id, event_id, ret FROM r WHERE ret IS NOT NULL),
+      |n AS (
+      |  SELECT user_id, ret,
+      |    row_number() OVER w AS rn,
+      |    stddev_samp(ret) OVER (PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS roll_vol
+      |  FROM f
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+      |SELECT user_id, count(*) AS n_returns,
+      |  CASE WHEN count(*) >= 20
+      |    THEN round(coalesce(stddev_pop(CASE WHEN rn >= 10 THEN roll_vol END), 0.0), 4)
+      |    ELSE 0.0 END AS vol_of_vol
+      |FROM n GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q53 — sidebet outcome labeler (D4, `explorer_data.py:21-24,105-135` +
+  // `backtest_service.py:397-520`), the reference's most business-critical
+  // derived table (sidebets_deduplicated). Relational re-expression over
+  // events: the rug tick is the rank of the largest single-step drop per
+  // entity (earliest wins ties — D5's argmax), bets are the 'purchase'
+  // events at their sequence rank, and the labels are pure window
+  // arithmetic: win iff start <= rug <= start+39, near-miss = lost by <= 5
+  // ticks, optimal zone = start >= 200, payout 5:1. The per-entity rug
+  // lookup broadcasts (one row per entity — a classic small-dim join).
+  val q53SidebetLabels: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("prev", lag(col("value"), 1).over(wOrd))
+    val drops = ev.filter(col("prev").isNotNull)
+      .withColumn("drop", col("prev") - col("value"))
+    val wBest = Window.partitionBy("user_id").orderBy(desc("drop"), asc("rn"))
+    val rug = drops
+      .withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("rn").cast("long").as("rug_tick"))
+    val bets = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        col("rn").cast("long").as("start_tick"),
+        col("value").as("bet_amount"))
+    val won = col("rug_tick") >= col("start_tick") &&
+      col("rug_tick") <= col("start_tick") + 39
+    bets.join(broadcast(rug), Seq("user_id"))
+      .select(col("user_id"), col("event_id"), col("start_tick"),
+        col("bet_amount"), col("rug_tick"),
+        won.as("bet_won"),
+        (col("rug_tick") - col("start_tick")).as("ticks_to_rug"),
+        (!won && col("rug_tick") - col("start_tick") > 39 &&
+          col("rug_tick") - col("start_tick") <= 44).as("was_near_miss"),
+        (col("start_tick") >= 200).as("bet_in_optimal_zone"),
+        // + 0.0 normalizes the -0.0 a zero-amount losing bet would produce
+        (when(won, col("bet_amount") * 5.0).otherwise(-col("bet_amount")) + 0.0)
+          .as("payout"))
+      .orderBy("event_id")
+  }
+  val q53Sql: String =
+    """WITH t AS (
+      |  SELECT user_id, event_id, event_type, value,
+      |    row_number() OVER w AS rn,
+      |    lag(value) OVER w AS prev
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+      |rug AS (
+      |  SELECT user_id, CAST(rn AS BIGINT) AS rug_tick FROM (
+      |    SELECT user_id, rn,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY prev - value DESC, rn ASC) AS rk
+      |    FROM t WHERE prev IS NOT NULL) WHERE rk = 1),
+      |bets AS (
+      |  SELECT user_id, event_id, CAST(rn AS BIGINT) AS start_tick, value AS bet_amount
+      |  FROM t WHERE event_type = 'purchase')
+      |SELECT b.user_id, b.event_id, b.start_tick, b.bet_amount, r.rug_tick,
+      |  r.rug_tick BETWEEN b.start_tick AND b.start_tick + 39 AS bet_won,
+      |  r.rug_tick - b.start_tick AS ticks_to_rug,
+      |  (NOT r.rug_tick BETWEEN b.start_tick AND b.start_tick + 39)
+      |    AND r.rug_tick - b.start_tick > 39
+      |    AND r.rug_tick - b.start_tick <= 44 AS was_near_miss,
+      |  b.start_tick >= 200 AS bet_in_optimal_zone,
+      |  (CASE WHEN r.rug_tick BETWEEN b.start_tick AND b.start_tick + 39
+      |    THEN b.bet_amount * 5.0 ELSE -b.bet_amount END) + 0.0 AS payout
+      |FROM bets b JOIN rug r USING (user_id)
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q45_volatility_metrics" -> q45Volatility,
     "q46_equity_curve" -> q46Equity,
-    "q50_obs_features" -> q50ObsFeatures)
+    "q50_obs_features" -> q50ObsFeatures,
+    "q52_vol_of_vol" -> q52VolOfVol,
+    "q53_sidebet_labels" -> q53SidebetLabels)
 
   val oracles: Map[String, String] = Map(
     "q45_volatility_metrics" -> q45Sql,
     "q46_equity_curve" -> q46Sql,
-    "q50_obs_features" -> q50Sql)
+    "q50_obs_features" -> q50Sql,
+    "q52_vol_of_vol" -> q52Sql,
+    "q53_sidebet_labels" -> q53Sql)
 }

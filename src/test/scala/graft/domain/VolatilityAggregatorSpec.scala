@@ -44,6 +44,30 @@ class VolatilityAggregatorSpec extends SparkSpec {
     }
   }
 
+  test("vol-of-vol matches pandas rolling(10).std() -> np.std semantics") {
+    // prices = 1.0 + 0.1*sin(i) + 0.01*i, i in 0..29 => 29 returns (>= 20).
+    // Expected value computed independently with pandas/numpy:
+    //   np.std(pd.Series(np.diff(p)/p[:-1]).rolling(10).std().dropna())
+    val prices = (0 until 30).map(i => 1.0 + 0.1 * math.sin(i) + 0.01 * i).toVector
+    val pandasValue = 0.003910810264258176
+    val scalarForm = VolatilityAggregator.fromPrices(prices).vol_of_vol
+    assert(math.abs(scalarForm - pandasValue) < 1e-12)
+    val games = Seq(("g", 1L, prices)).toDF("game_id", "timestamp", "prices")
+      .withColumn("peak_multiplier", lit(1.0))
+    val arrayForm = GameAnalytics.volatilityMetrics(games)
+      .head().getAs[Double]("vol_of_vol")
+    // one-pass sum/sumsq slice std vs two-pass centered: agree to ~1e-9
+    assert(math.abs(arrayForm - pandasValue) < 1e-9)
+  }
+
+  test("vol-of-vol is 0.0 below 20 returns (study gate)") {
+    assert(VolatilityAggregator.fromPrices(g1).vol_of_vol === 0.0)
+    val games = Seq(("g1", 1L, g1)).toDF("game_id", "timestamp", "prices")
+      .withColumn("peak_multiplier", lit(1.0))
+    assert(GameAnalytics.volatilityMetrics(games)
+      .head().getAs[Double]("vol_of_vol") === 0.0)
+  }
+
   test("spike accounting: every |return| > 10% counts, largest wins") {
     // returns: +10.0..009% (FP: 1.1/1.0-1 > 0.1), +36.4%, -20%, -25% => 4
     val m = VolatilityAggregator.fromPrices(g1)
