@@ -5,9 +5,15 @@ import org.apache.spark.sql.SparkSession
   *
   * A warm-up pass (untimed) touches every table and runs one trivial job so
   * the timed numbers measure query execution, not first-job JVM costs
-  * (executor thread init, Janino codegen compile, parquet footer reads) —
-  * otherwise whatever query happens to run first absorbs ~6 s of fixed
-  * overhead and the per-query attribution is meaningless.
+  * (executor thread init, parquet footer reads) — otherwise whatever query
+  * happens to run first absorbs ~6 s of fixed overhead and the per-query
+  * attribution is meaningless. Each query then runs once untimed before its
+  * timed run: the first execution of a plan pays one-time driver costs that
+  * are per-QUERY-SHAPE, not per-execution — Janino whole-stage-codegen
+  * compilation (~0.1–0.3 s per distinct plan) and JIT warm-up of the
+  * generated classes — which a long-lived session amortizes to zero. The
+  * timed number is the steady-state execution cost, the quantity that
+  * actually scales with data volume.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -25,6 +31,7 @@ object Bench {
       } catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

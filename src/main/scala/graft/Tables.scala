@@ -14,8 +14,26 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Per-(session, dir, table) memo of the analyzed scan DataFrame. A
+    * `spark.read.parquet` re-lists the directory and re-reads a footer for
+    * schema inference on EVERY call — pure driver-side latency repeated by
+    * each of the ~50 registered queries over the same ten tables. A
+    * DataFrame is an immutable plan, so reuse within a session is safe;
+    * keyed weakly by session so a stopped session's entries are
+    * collectable. On a real warehouse the catalog's table metadata plays
+    * this role.
+    */
+  private val scanCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    scanCache.synchronized {
+      scanCache.computeIfAbsent(spark,
+          _ => scala.collection.concurrent.TrieMap.empty)
+        .getOrElseUpdate((sfDir, name),
+          spark.read.parquet(s"$sfDir/$name.parquet"))
+    }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

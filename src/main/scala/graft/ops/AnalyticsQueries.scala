@@ -238,17 +238,20 @@ object AnalyticsQueries {
   // arithmetic: win iff start <= rug <= start+39, near-miss = lost by <= 5
   // ticks, optimal zone = start >= 200, payout 5:1. The per-entity rug
   // lookup broadcasts (one row per entity — a classic small-dim join).
+  // The argmax is max_by over (drop, -rn) — a map-side-combinable groupBy
+  // (one slim struct per entity per partition shuffles), NOT a rank window,
+  // which would full-sort every entity's drops just to keep row 1.
   val q53SidebetLabels: Q = (s, d) => {
     val ev = Tables.events(s, d)
       .withColumn("rn", row_number().over(wOrd))
       .withColumn("prev", lag(col("value"), 1).over(wOrd))
     val drops = ev.filter(col("prev").isNotNull)
       .withColumn("drop", col("prev") - col("value"))
-    val wBest = Window.partitionBy("user_id").orderBy(desc("drop"), asc("rn"))
     val rug = drops
-      .withColumn("rk", row_number().over(wBest))
-      .filter(col("rk") === 1)
-      .select(col("user_id"), col("rn").cast("long").as("rug_tick"))
+      .groupBy("user_id")
+      // earliest rn wins ties => maximize (drop, -rn) lexicographically
+      .agg(max_by(col("rn").cast("long"),
+        struct(col("drop"), -col("rn"))).as("rug_tick"))
     val bets = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id"),
         col("rn").cast("long").as("start_tick"),
