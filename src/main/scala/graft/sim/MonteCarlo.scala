@@ -19,6 +19,10 @@ object MonteCarlo {
   /** @param kellyFraction fraction of full Kelly to bet (0.25 = quarter-Kelly)
     * @param winRate per-bet win probability (reference observed 17.6%)
     * @param payout net odds (5:1 sidebet payout)
+    * @param adaptiveSizing D7: when true, bet size comes from a
+    *   [[ThetaBayesian]] posterior updated after every bet (the reference's
+    *   adaptive strategy, `monte_carlo.py:176-258`) instead of the fixed
+    *   winRate; the posterior starts at Beta(priorAlpha, priorBeta)
     */
   case class SimConfig(
       iterations: Int = 10000,
@@ -27,7 +31,10 @@ object MonteCarlo {
       payout: Double = 5.0,
       kellyFraction: Double = 0.25,
       startingBankroll: Double = 1.0,
-      seed: Long = 42L) {
+      seed: Long = 42L,
+      adaptiveSizing: Boolean = false,
+      priorAlpha: Double = 1.0,
+      priorBeta: Double = 1.0) {
     /** Full-Kelly optimal fraction f* = (p·(b+1) − 1) / b. */
     def kellyStar: Double = (winRate * (payout + 1) - 1) / payout
     def betFraction: Double = math.max(0.0, kellyStar * kellyFraction)
@@ -58,12 +65,21 @@ object MonteCarlo {
     var sumLr = 0.0
     var sumLr2 = 0.0
     var sumNegLr2 = 0.0
+    var est = ThetaBayesian(alpha = cfg.priorAlpha, beta = cfg.priorBeta)
     var i = 0
     while (i < cfg.gamesPerIteration && !ruined) {
-      val bet = bankroll * cfg.betFraction
+      // adaptive: quarter-Kelly of the CURRENT posterior mean (a flat
+      // Beta(1,1) prior bets 0 until evidence accumulates — mean 0.5 gives
+      // positive Kelly at 5:1; an informative pessimistic prior holds fire)
+      val frac =
+        if (cfg.adaptiveSizing)
+          math.max(0.0, est.kellyFraction(cfg.payout) * cfg.kellyFraction)
+        else cfg.betFraction
+      val bet = bankroll * frac
+      val win = rng.nextDouble() < cfg.winRate
       if (bet > 0) {
         val before = bankroll
-        bankroll += (if (rng.nextDouble() < cfg.winRate) bet * cfg.payout else -bet)
+        bankroll += (if (win) bet * cfg.payout else -bet)
         val lr = math.log(bankroll / before)
         sumLr += lr; sumLr2 += lr * lr
         if (lr < 0) sumNegLr2 += lr * lr
@@ -73,6 +89,9 @@ object MonteCarlo {
         if (dd > maxDD) maxDD = dd
         if (bankroll < cfg.startingBankroll * 0.01) ruined = true
       }
+      // the posterior learns from every observed game, bet or not — the
+      // reference updates its estimator on each outcome it records
+      if (cfg.adaptiveSizing) est = est.observe(win)
       i += 1
     }
     val n = math.max(bets, 1)

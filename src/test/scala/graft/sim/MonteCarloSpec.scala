@@ -23,6 +23,25 @@ class MonteCarloSpec extends SparkSpec {
       c.map(_.getAs[Double]("finalBankroll")).toSeq)
   }
 
+  test("adaptive theta-Bayesian sizing runs deterministically and diverges from static") {
+    val acfg = cfg.copy(adaptiveSizing = true)
+    val a = MonteCarlo.simulate(spark, acfg).orderBy("iteration").collect()
+    val b = MonteCarlo.simulate(spark, acfg).orderBy("iteration").collect()
+    assert(a.map(_.getAs[Double]("finalBankroll")).toSeq ===
+      b.map(_.getAs[Double]("finalBankroll")).toSeq)
+    // same seed, different sizing strategy ⇒ different equity paths
+    val s = MonteCarlo.simulate(spark, cfg).orderBy("iteration").collect()
+    assert(a.map(_.getAs[Double]("finalBankroll")).toSeq !==
+      s.map(_.getAs[Double]("finalBankroll")).toSeq)
+    // a hopeless prior (mean ~1%) never finds a positive Kelly edge at 5:1
+    // from a 17.6% true rate... it does once evidence accumulates; but the
+    // first bets are held (bet=0 while posterior kelly <= 0)
+    val held = MonteCarlo.simulate(spark,
+      acfg.copy(priorAlpha = 1.0, priorBeta = 99.0, gamesPerIteration = 5))
+      .orderBy("iteration").collect()
+    assert(held.forall(_.getAs[Int]("nBets") === 0))
+  }
+
   test("risk report fields are well-formed probabilities and quantiles") {
     val r = MonteCarlo.riskReport(MonteCarlo.simulate(spark, cfg)).head()
     assert(r.getAs[Long]("n_iterations") === 200L)
