@@ -298,17 +298,44 @@ object AnalyticsQueries {
       |FROM bets b JOIN rug r USING (user_id)
       |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q54 — base rug probability curve (F11, `bayesian_rug_signal.py:186-242`):
+  // each event's 0-based sequence rank is its tick count; the probability is
+  // the piecewise-linear expert curve as a codegen'd CASE ladder. The SQL
+  // text is GENERATED from the same knots (RugSignal.baseRugProbabilitySql),
+  // so Spark and oracle cannot drift.
+  val q54RugProbability: Q = (s, d) => {
+    import graft.domain.RugSignal
+    Tables.events(s, d)
+      .withColumn("tick", row_number().over(wOrd) - 1)
+      .select(col("event_id"), col("user_id"), col("tick"),
+        RugSignal.baseRugProbability(col("tick")).as("base_rug_prob"))
+      .orderBy("event_id")
+  }
+  val q54Sql: String = {
+    val ladder = graft.domain.RugSignal.baseRugProbabilitySql("tick")
+    s"""WITH t AS (
+       |  SELECT event_id, user_id,
+       |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS INT) AS tick
+       |  FROM events)
+       |SELECT event_id, user_id, tick,
+       |  $ladder AS base_rug_prob
+       |FROM t ORDER BY event_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q45_volatility_metrics" -> q45Volatility,
     "q46_equity_curve" -> q46Equity,
     "q50_obs_features" -> q50ObsFeatures,
     "q52_vol_of_vol" -> q52VolOfVol,
-    "q53_sidebet_labels" -> q53SidebetLabels)
+    "q53_sidebet_labels" -> q53SidebetLabels,
+    "q54_rug_probability" -> q54RugProbability)
 
   val oracles: Map[String, String] = Map(
     "q45_volatility_metrics" -> q45Sql,
     "q46_equity_curve" -> q46Sql,
     "q50_obs_features" -> q50Sql,
     "q52_vol_of_vol" -> q52Sql,
-    "q53_sidebet_labels" -> q53Sql)
+    "q53_sidebet_labels" -> q53Sql,
+    "q54_rug_probability" -> q54Sql)
 }

@@ -21,10 +21,17 @@ object Detectors {
 
   val PairWindowMs = 500L // game_history_capture.py:86
 
-  def detectPairsGroup(
+  /** Pair state is only meaningful within the 500 ms duplicate window; a
+    * generous minute past the watermark evicts it (state-store hygiene —
+    * without a timeout every game id ever seen stays resident forever).
+    */
+  val PairIdleTimeoutMs = 60 * 1000L
+
+  def detectPairsGroup(evict: Boolean)(
       gameId: String,
       events: Iterator[RugEmission],
       state: GroupState[PairState]): Iterator[RugDetection] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     var last = state.getOption.map(_.lastRugMs).getOrElse(Long.MinValue)
     val out = events.toSeq.sortBy(_.ts.getTime).map { e =>
       val ms = e.ts.getTime
@@ -33,15 +40,32 @@ object Detectors {
       RugDetection(gameId, e.ts, dup)
     }
     state.update(PairState(last))
+    // deadline = TTL past the newest emission, floored at the watermark
+    // (first-batch watermark is 0 — see Normalizer.normalizeGroup)
+    if (evict) {
+      val newestMs = out.lastOption.map(_.ts.getTime).getOrElse(0L)
+      state.setTimeoutTimestamp(
+        math.max(newestMs, state.getCurrentWatermarkMs()) + PairIdleTimeoutMs)
+    }
     out.iterator
   }
 
+  /** Event-time state eviction when streaming (watermark + timeout; a
+    * processing-time timeout would hot-loop the no-data re-trigger);
+    * NoTimeout in batch where state dies with the job.
+    */
   def detectRugPairs(rugs: Dataset[RugEmission]): Dataset[RugDetection] = {
     val spark: SparkSession = rugs.sparkSession
     import spark.implicits._
-    rugs.groupByKey(_.game_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        detectPairsGroup)
+    if (rugs.isStreaming)
+      rugs.withWatermark("ts", Normalizer.WatermarkDelay)
+        .groupByKey(_.game_id)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout)(detectPairsGroup(evict = true))
+    else
+      rugs.groupByKey(_.game_id)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.NoTimeout)(detectPairsGroup(evict = false))
   }
 
   // -------------------------------------------------------------------------
@@ -59,10 +83,18 @@ object Detectors {
     else if (gapMs >= 350L) 1.5
     else 1.0 // bayesian_rug_signal.py:44-53
 
-  def detectGapsGroup(
+  /** A session idle past this horizon loses its last-tick state: its next
+    * tick starts a fresh gap baseline instead of emitting a nonsense
+    * hours-long "gap" (the reference resets its detector on game end,
+    * `bayesian_rug_signal.py:180-184`).
+    */
+  val GapIdleTimeoutMs = 10 * 60 * 1000L
+
+  def detectGapsGroup(evict: Boolean)(
       sessionId: String,
       events: Iterator[TickArrival],
       state: GroupState[GapState]): Iterator[GapSignal] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     var lastMs = state.getOption.map(_.lastMs).getOrElse(Long.MinValue)
     val out = events.toSeq.sortBy(_.ts.getTime).flatMap { e =>
       val ms = e.ts.getTime
@@ -75,15 +107,25 @@ object Detectors {
       sig
     }
     state.update(GapState(lastMs))
+    // deadline = TTL past the newest tick, floored at the watermark
+    if (evict)
+      state.setTimeoutTimestamp(
+        math.max(lastMs, state.getCurrentWatermarkMs()) + GapIdleTimeoutMs)
     out.iterator
   }
 
   def detectGaps(ticks: Dataset[TickArrival]): Dataset[GapSignal] = {
     val spark: SparkSession = ticks.sparkSession
     import spark.implicits._
-    ticks.groupByKey(_.session_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        detectGapsGroup)
+    if (ticks.isStreaming)
+      ticks.withWatermark("ts", Normalizer.WatermarkDelay)
+        .groupByKey(_.session_id)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout)(detectGapsGroup(evict = true))
+    else
+      ticks.groupByKey(_.session_id)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.NoTimeout)(detectGapsGroup(evict = false))
   }
 
   // -------------------------------------------------------------------------
@@ -91,21 +133,36 @@ object Detectors {
   // game for display and range queries (`src/core/live_ring_buffer.py:33-48`).
   // Spark shape: bounded keyed state; each micro-batch emits the current
   // window snapshot stats (the "range query" surface of the ring buffer).
-  final case class Tick(game_id: String, tick: Int, price: Double)
+  final case class Tick(game_id: String, tick: Int, price: Double, ts: Timestamp)
   final case class RingSnapshot(game_id: String, n_buffered: Int,
       min_tick: Int, max_tick: Int, last_price: Double)
   final case class RingState(ticks: List[(Int, Double)]) // bounded, tick-ordered
 
   val RingCapacity = 5000 // live_ring_buffer.py:33
 
-  def ringGroup(capacity: Int)(
+  /** A game with no ticks for this long is over — drop its buffer (the
+    * reference recycles a game's ring on game end; here eviction also
+    * bounds total state at (active games) x capacity instead of (all games
+    * ever) x capacity).
+    */
+  val RingIdleTimeoutMs = 30 * 60 * 1000L
+
+  def ringGroup(capacity: Int, evict: Boolean = false)(
       gameId: String,
       events: Iterator[Tick],
       state: GroupState[RingState]): Iterator[RingSnapshot] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     val prev = state.getOption.map(_.ticks).getOrElse(Nil)
-    val merged = (prev ++ events.toSeq.sortBy(_.tick).map(t => (t.tick, t.price)))
+    val batch = events.toSeq
+    val merged = (prev ++ batch.sortBy(_.tick).map(t => (t.tick, t.price)))
       .takeRight(capacity)
     state.update(RingState(merged))
+    // deadline = TTL past the newest tick, floored at the watermark
+    if (evict) {
+      val newestMs = batch.iterator.map(_.ts.getTime).maxOption.getOrElse(0L)
+      state.setTimeoutTimestamp(
+        math.max(newestMs, state.getCurrentWatermarkMs()) + RingIdleTimeoutMs)
+    }
     if (merged.isEmpty) Iterator.empty
     else Iterator(RingSnapshot(gameId, merged.size,
       // min/max scanned, not head/last: a late cross-batch tick makes the
@@ -117,8 +174,14 @@ object Detectors {
   def ringBuffer(ticks: Dataset[Tick], capacity: Int = RingCapacity): Dataset[RingSnapshot] = {
     val spark: SparkSession = ticks.sparkSession
     import spark.implicits._
-    ticks.groupByKey(_.game_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        ringGroup(capacity))
+    if (ticks.isStreaming)
+      ticks.withWatermark("ts", Normalizer.WatermarkDelay)
+        .groupByKey(_.game_id)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout)(ringGroup(capacity, evict = true))
+    else
+      ticks.groupByKey(_.game_id)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.NoTimeout)(ringGroup(capacity))
   }
 }

@@ -20,10 +20,24 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Normalizer {
 
-  def normalizeGroup(
+  /** Idle-session eviction horizon: a session whose events fall this far
+    * behind the watermark has its state dropped (unbounded keyed state
+    * otherwise grows forever in a long-running stream). A session resuming
+    * later restarts at seq 0 in Cooldown — the same cold-start the
+    * reference performs when its in-memory session map is recycled.
+    */
+  val SessionIdleTimeoutMs: Long = 30 * 60 * 1000L
+
+  /** Max event-time disorder the stream tolerates before state eviction
+    * may discard a session (T13 horizon).
+    */
+  val WatermarkDelay = "10 minutes"
+
+  def normalizeGroup(evict: Boolean)(
       sessionId: String,
       events: Iterator[RawEvent],
       state: GroupState[SessionState]): Iterator[NormalizedEvent] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     var st = state.getOption.getOrElse(SessionState(0L, None, Phases.Cooldown))
     val out = events.toSeq.sortBy(e => (e.ts.getTime, e.event_name)).map { e =>
       val gameId = e.game_id.orElse(st.lastGameId)
@@ -38,15 +52,35 @@ object Normalizer {
       n
     }
     state.update(st)
+    // event-time eviction: the deadline is TTL past the newest event this
+    // session has produced (floored at the watermark — in the first batch
+    // the watermark is still 0, and a deadline anchored there would expire
+    // the moment real 2020s timestamps advance it). A processing-time
+    // timeout is not an option: shouldRunAnotherBatch is always true under
+    // it, hot-looping the no-data re-trigger.
+    if (evict) {
+      val newestMs = out.lastOption.map(_.ts.getTime).getOrElse(0L)
+      state.setTimeoutTimestamp(
+        math.max(newestMs, state.getCurrentWatermarkMs()) + SessionIdleTimeoutMs)
+    }
     out.iterator
   }
 
-  /** Works on both a streaming and a batch Dataset (batch = one big group). */
+  /** Works on both a streaming and a batch Dataset. Streaming adds a
+    * watermark and evicts idle-session state past the timeout horizon;
+    * batch state dies with the job, so eviction is skipped (NoTimeout).
+    */
   def normalize(raw: Dataset[RawEvent]): Dataset[NormalizedEvent] = {
     val spark: SparkSession = raw.sparkSession
     import spark.implicits._
-    raw.groupByKey(_.session_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        normalizeGroup)
+    if (raw.isStreaming)
+      raw.withWatermark("ts", WatermarkDelay)
+        .groupByKey(_.session_id)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout)(normalizeGroup(evict = true))
+    else
+      raw.groupByKey(_.session_id)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.NoTimeout)(normalizeGroup(evict = false))
   }
 }

@@ -128,7 +128,7 @@ class StreamingSpec extends SparkSpec {
     val q = Detectors.ringBuffer(input.toDS(), capacity = 3).writeStream
       .format("memory").queryName("ring_out").outputMode("append").start()
     try {
-      input.addData((1 to 5).map(i => Detectors.Tick("g1", i, i * 1.0)): _*)
+      input.addData((1 to 5).map(i => Detectors.Tick("g1", i, i * 1.0, ts(i * 1000L))): _*)
       q.processAllAvailable()
       val snap = spark.table("ring_out").as[Detectors.RingSnapshot].collect()
         .filter(_.game_id == "g1").last
@@ -179,6 +179,27 @@ class StreamingSpec extends SparkSpec {
     val back = EventStore.read(spark, out)
     assert(back.count() === 2)
     assert(back.select("seq").distinct().count() === 2) // no duplicate seq
+  }
+
+  test("idle session state is evicted once the watermark passes the timeout horizon") {
+    val input = MemoryStream[RawEvent]
+    val q = Normalizer.normalize(input.toDS()).writeStream
+      .format("memory").queryName("evict_out").outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      input.addData(raw("s1", t0, "game.tick"))
+      q.processAllAvailable()
+      // another session 50 min later pushes the watermark (delay 10 min)
+      // past s1's 30-min deadline -> s1's state is evicted
+      input.addData(raw("s2", t0 + 50 * 60 * 1000L, "game.tick"))
+      q.processAllAvailable()
+      // s1 returns (above the watermark): a fresh session, seq restarts at 0
+      input.addData(raw("s1", t0 + 55 * 60 * 1000L, "game.tick"))
+      q.processAllAvailable()
+      val s1 = spark.table("evict_out").as[NormalizedEvent].collect()
+        .filter(_.session_id == "s1").sortBy(_.ts.getTime)
+      assert(s1.map(_.seq).toSeq === Seq(0L, 0L)) // NOT Seq(0L, 1L): evicted
+    } finally q.stop()
   }
 
   test("streaming dedup keeps first emission per game_id across batches") {
