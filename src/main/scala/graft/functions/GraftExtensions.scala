@@ -29,6 +29,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
       builder))
     ext.injectFunction((
+      FunctionIdentifier("minhash_text"),
+      new ExpressionInfo(classOf[MinHashFromText].getName, "minhash_text"),
+      exprs => exprs match {
+        case Seq(t) => MinHashFromText(t, 16)
+        case Seq(t, k) =>
+          MinHashFromText(t, k.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException("minhash_text(text [, k])")
+      }))
+    ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       exprs => SimHash64(exprs.head)))

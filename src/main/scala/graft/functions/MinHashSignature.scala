@@ -25,11 +25,31 @@ import org.apache.spark.sql.types._
   *
   * Semantics notes: null array → null; null/absent elements are skipped;
   * an empty array yields Long.MaxValue slots (no shingles = empty set —
-  * callers filter size >= 1). Deterministic: xxhash64 of the UTF-8 bytes
-  * with the slot index as seed.
+  * callers filter size >= 1). Deterministic: each shingle's UTF-8 bytes
+  * are xxhash64'd ONCE, and the k family values derive from multiply-shift
+  * universal hashing (odd a_i · x + b_i, SplitMix64-seeded constants) —
+  * hashing the bytes k times with k seeds costs k passes over every
+  * shingle and was the measured hot spot of the signature stage (~4× the
+  * whole simhash query); one byte pass + k multiply-adds is the standard
+  * MinHash construction and estimator-equivalent.
   */
 case class MinHashSignature(child: Expression, numHashes: Int)
     extends UnaryExpression {
+
+  /** Per-slot multiply-shift constants, derived deterministically from the
+    * slot index (recomputed per executor; tiny).
+    */
+  @transient private lazy val (multA, addB) = {
+    val a = new Array[Long](numHashes)
+    val b = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      a(i) = MinHashSignature.splitmix64(2L * i) | 1L // odd multiplier
+      b(i) = MinHashSignature.splitmix64(2L * i + 1L)
+      i += 1
+    }
+    (a, b)
+  }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -45,14 +65,16 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   /** One fused pass; shared by interpreted eval and generated code. */
   def compute(a: ArrayData): ArrayData = {
     val mins = Array.fill(numHashes)(Long.MaxValue)
+    val as = multA
+    val bs = addB
     var i = 0
     val n = a.numElements()
     while (i < n) {
       if (!a.isNullAt(i)) {
-        val s = a.getUTF8String(i)
+        val x = XxHash64Function.hash(a.getUTF8String(i), StringType, 42L)
         var h = 0
         while (h < numHashes) {
-          val hv = XxHash64Function.hash(s, StringType, h.toLong)
+          val hv = as(h) * x + bs(h)
           if (hv < mins(h)) mins(h) = hv
           h += 1
         }
@@ -76,6 +98,14 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 }
 
 object MinHashSignature {
+
+  /** SplitMix64 finalizer — the standard published 64-bit mixer. */
+  def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
 
   private def build(exprs: Seq[Expression]): Expression = exprs match {
     case Seq(arr) => MinHashSignature(arr, 16)

@@ -165,14 +165,21 @@ object SimilarityQueries {
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
 
-  /** Signature via the native one-pass `MinHashSignature` expression
-    * (graft.functions) — the composed-builtin form (k × array_min∘transform)
-    * walks the shingle array k times in interpreted HOF eval.
+  /** Signature via the fused text→signature `MinHashFromText` expression
+    * (graft.functions): split + 3-gram shingling + hashing + min in one
+    * codegen'd pass. The compositional form (withShingles +
+    * MinHashSignature) is kept for the oracle-checked shingle query and
+    * spec-asserted EQUAL to this one — but its shingle pipeline runs in
+    * the interpreted higher-order-function evaluator, which dominated the
+    * signature stage ~3:1 at sf0.1. Keeps docs with >= 3 tokens (at least
+    * one shingle), same as withShingles.
     */
   def minhashSignatures(docs: DataFrame): DataFrame =
-    withShingles(docs).withColumn("minhash",
-      graft.functions.MinHashSignature.minhash_signature(
-        docs.sparkSession, "shingles", NumHashes))
+    docs
+      .filter(size(split(col("text"), " ")) >= 3)
+      .withColumn("minhash",
+        graft.functions.MinHashFromText.minhash_text(
+          docs.sparkSession, "text", NumHashes))
 
   // Output is posexploded to (doc_id, slot, min_hash) scalars: the harness
   // sorts result rows with pandas, and a raw array<bigint> column is

@@ -181,7 +181,14 @@ class PropertySpec extends SparkSpec {
         .select("id", "sig").collect()
         .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
       docs.zipWithIndex.foreach { case (sh, i) =>
-        val expected = (0 until k).map(h => sh.map(s => xxh(s, h.toLong)).min)
+        // one xxhash64(seed 42) per shingle, then the SplitMix64-seeded
+        // multiply-shift family (odd a_h · x + b_h) per slot
+        import graft.functions.MinHashSignature.splitmix64
+        val expected = (0 until k).map { h =>
+          val a = splitmix64(2L * h) | 1L
+          val b = splitmix64(2L * h + 1L)
+          sh.map(s => a * xxh(s, 42L) + b).min
+        }
         assert(gotMh(i.toLong) === expected, s"minhash doc $i")
       }
       val gotSh = df.withColumn("sig",

@@ -17,6 +17,7 @@ class CodegenSpec extends SparkSpec {
 
   test("native expressions no longer declare CodegenFallback") {
     assert(!classOf[CodegenFallback].isAssignableFrom(classOf[MinHashSignature]))
+    assert(!classOf[CodegenFallback].isAssignableFrom(classOf[MinHashFromText]))
     assert(!classOf[CodegenFallback].isAssignableFrom(classOf[SimHash64]))
     assert(!classOf[CodegenFallback].isAssignableFrom(classOf[RandomHyperplaneSignature]))
     assert(!classOf[CodegenFallback].isAssignableFrom(classOf[CosineSimilarity]))
@@ -35,6 +36,7 @@ class CodegenSpec extends SparkSpec {
 
   private def allFour() = {
     MinHashSignature.register(spark)
+    MinHashFromText.register(spark)
     SimHash64.register(spark)
     RandomHyperplaneSignature.register(spark)
     CosineSimilarity.register(spark)
@@ -45,13 +47,15 @@ class CodegenSpec extends SparkSpec {
       .toDF("id", "shingles", "vec_a", "vec_b")
       .selectExpr("id",
         "minhash_signature(shingles, 8) AS mh",
+        "minhash_text(concat_ws(' ', shingles), 8) AS mht",
         "simhash64(shingles) AS sh",
         "rh_signature(vec_a, 16) AS rh",
         "cosine_similarity(vec_a, vec_b) AS cos")
       .orderBy("id")
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2), r.getLong(3),
-        if (r.isNullAt(4)) null else r.getDouble(4)))
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) null else r.getDouble(5)))
   }
 
   test("generated code compiles and matches interpreted eval") {
@@ -59,6 +63,6 @@ class CodegenSpec extends SparkSpec {
     val interpreted = withFactoryMode("NO_CODEGEN")(allFour())
     assert(generated.toSeq === interpreted.toSeq)
     // zero-vector row: cosine must be null on both paths
-    assert(generated(1)._5 === null)
+    assert(generated(1)._6 === null)
   }
 }

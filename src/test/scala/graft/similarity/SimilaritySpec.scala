@@ -33,6 +33,28 @@ class SimilaritySpec extends SparkSpec {
     assert(agree > 0.5) // true jaccard ≈ 35/41 ≈ 0.85; 16 hashes is coarse
   }
 
+  test("fused minhash_text equals the compositional shingle+signature path") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "rep rep rep rep rep rep rep rep"),     // duplicate shingles
+      (3L, "a b c d e f g h i j k l m n o p q r"),
+      (4L, "exactly three tokens"),
+      (5L, "trailing space "),                      // empty trailing token
+      (6L, "double  space between")                 // empty middle token
+    ).toDF("doc_id", "text")
+    val fused = SimilarityQueries.minhashSignatures(docs)
+      .select("doc_id", "minhash").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val compositional = SimilarityQueries.withShingles(docs)
+      .withColumn("minhash", graft.functions.MinHashSignature
+        .minhash_signature(spark, "shingles", 16))
+      .select("doc_id", "minhash").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fused.keySet === compositional.keySet) // same >=3-token filter
+    for ((id, sig) <- compositional)
+      assert(fused(id) === sig, s"doc $id")
+  }
+
   test("simhash of identical docs is identical; hamming small for near-dups") {
     val base = (1 to 50).map(i => s"tok$i").mkString(" ")
     val nearDup = (1 to 48).map(i => s"tok$i").mkString(" ") + " changedA changedB"
