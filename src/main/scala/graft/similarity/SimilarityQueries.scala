@@ -253,8 +253,16 @@ object SimilarityQueries {
   // full-corpus path is q43's LSH). Deterministic: jaccard rounded BEFORE the
   // total-order ranking so both engines cut the top-20 identically.
   val q47NgramJaccard: Q = (s, d) => {
+    // intersect 64-bit shingle hashes, not strings: the pairwise
+    // array_intersect dominates this block (|pairs| × |shingles|² element
+    // probes), and the long-typed path runs primitive-specialized codegen
+    // while string probes hash UTF8 bytes per probe. xxhash64 is injective
+    // in practice here (a collision within a 200-shingle doc set has
+    // probability ~2^-50), so set sizes and intersection counts — and thus
+    // the jaccard the oracle checks hash-exactly — are unchanged.
     val sub = withShingles(Tables.documents(s, d).filter(col("doc_id") < 150))
-      .select(col("doc_id"), col("shingles"))
+      .select(col("doc_id"),
+        transform(col("shingles"), x => xxhash64(x)).as("shingles"))
     val a = sub.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
     val b = sub.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
     a.join(b, col("id_a") < col("id_b"))

@@ -67,4 +67,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("hashaggregate"),
       "no shuffle aggregate for a per-document function")
   }
+
+  test("q42: fused minhash_text — no higher-order shingle eval in the plan") {
+    val p = plan("q42_minhash_signatures")
+    assert(p.contains("minhash_text"))
+    assert(!p.contains("transform("),
+      "shingling must be fused into the native expression, not interpreted HOFs")
+  }
+
+  test("q52/q54: windows partition by user; q52 aggregates with partial agg") {
+    val p52 = plan("q52_vol_of_vol")
+    assert(p52.contains("windowspecdefinition(user_id"))
+    assert(p52.contains("partial_"), "groupBy must map-side combine")
+    assert(plan("q54_rug_probability").contains("windowspecdefinition(user_id"))
+  }
+
+  test("q53: rug argmax is a partial-aggregated groupBy feeding a broadcast join") {
+    val p = plan("q53_sidebet_labels")
+    assert(p.contains("partial_max_by") || p.contains("partial_"),
+      "argmax must map-side combine, not rank-window sort")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "one-row-per-entity rug side must broadcast")
+  }
 }
