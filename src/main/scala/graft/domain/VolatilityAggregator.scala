@@ -84,15 +84,32 @@ object VolatilityAggregator {
       final_price = prices.last)
   }
 
-  class Agg extends Aggregator[TickRow, ArrayBuffer[(Int, Double)], VolatilityMetrics] {
+  /** Ceiling on buffered ticks per game: ~50× the longest episode ever
+    * observed (1,815 ticks, BASELINE.md). A group past it is malformed
+    * input (e.g. a join exploded the key), and failing fast with a
+    * diagnosable message beats silently growing a per-group buffer until
+    * an executor OOMs mid-shuffle.
+    */
+  val MaxTicksPerGame = 100000
+
+  class Agg(maxTicks: Int = MaxTicksPerGame)
+      extends Aggregator[TickRow, ArrayBuffer[(Int, Double)], VolatilityMetrics] {
     override def zero: ArrayBuffer[(Int, Double)] = ArrayBuffer.empty
 
+    private def checked(b: ArrayBuffer[(Int, Double)]): ArrayBuffer[(Int, Double)] = {
+      if (b.size > maxTicks) throw new IllegalStateException(
+        s"VolatilityAggregator buffered ${b.size} ticks for one game " +
+          s"(cap $maxTicks): episodes are bounded (~2k ticks) — is the " +
+          "grouping key wrong or a join exploding rows?")
+      b
+    }
+
     override def reduce(b: ArrayBuffer[(Int, Double)], t: TickRow): ArrayBuffer[(Int, Double)] = {
-      b += ((t.tick, t.price)); b
+      b += ((t.tick, t.price)); checked(b)
     }
 
     override def merge(a: ArrayBuffer[(Int, Double)],
-        b: ArrayBuffer[(Int, Double)]): ArrayBuffer[(Int, Double)] = { a ++= b; a }
+        b: ArrayBuffer[(Int, Double)]): ArrayBuffer[(Int, Double)] = { a ++= b; checked(a) }
 
     override def finish(b: ArrayBuffer[(Int, Double)]): VolatilityMetrics =
       fromPrices(b.sortBy(_._1).map(_._2).toIndexedSeq)

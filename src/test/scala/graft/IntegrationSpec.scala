@@ -58,4 +58,39 @@ class IntegrationSpec extends SparkSpec {
     assert(feats.map(_.getAs[Long]("seq")).sorted.toSeq ===
       feats.map(_.getAs[Long]("seq")).toSeq)
   }
+
+  test("wire bytes to warehouse: socket frames -> parse -> normalize -> sink -> batch scan") {
+    import graft.streaming.SocketFrames
+    def frame(gameId: String, active: Boolean, rugged: Boolean, t: Int, p: Double): String =
+      s"""42["gameStateUpdate",{"gameId":"$gameId","active":$active,""" +
+        s""""rugged":$rugged,"tickCount":$t,"price":$p,"cooldownTimer":0,""" +
+        s""""allowPreRoundBuys":false,"tradeCount":0}]"""
+    val base = 1700000100000L
+    val input = MemoryStream[(String, Long)] // (raw frame, arrival ms)
+    input.addData(
+      ("2", base),                                     // ping: dropped by the parser
+      (frame("g9", active = true, rugged = false, 0, 1.0), base + 1000),
+      (frame("g9", active = true, rugged = false, 1, 1.3), base + 2000),
+      (frame("g9", active = true, rugged = false, 2, 1.1), base + 3000),
+      (frame("g9", active = true, rugged = true, 3, 0.0), base + 4000),  // rug
+      ("""42["playerUpdate",{"id":"p1"}]""", base + 4500)) // other event: dropped
+    val raw = SocketFrames.rawEvents(
+      input.toDS().toDF("value", "arrival_ms"),
+      lit("conn-e2e"), (col("arrival_ms") / 1000).cast("timestamp"))
+    val out = java.nio.file.Files.createTempDirectory("graft-wire-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-wire-ckpt").toString
+    Ingest.start(raw, out, ckpt, Trigger.AvailableNow()).awaitTermination(60000)
+
+    // tickCount 0 is phase evidence "game.active" (game start), so ticks 1
+    // and 2 land under doc_type=game_tick; the rug rides the ws_event
+    // family — all partition-pruned readable
+    val ticks = EventStore.readDocType(spark, out, "game_tick")
+    assert(ticks.count() === 2)
+    assert(ticks.select(max(col("price").cast("double"))).head().getDouble(0) === 1.3)
+    val all = EventStore.read(spark, out)
+    assert(all.count() === 4) // start + 2 ticks + rug; ping/player dropped
+    // normalizer saw the frames in arrival order: seq 0..3 for the session
+    assert(all.select("seq").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(0L, 1L, 2L, 3L))
+  }
 }

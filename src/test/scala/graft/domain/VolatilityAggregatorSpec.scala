@@ -44,6 +44,18 @@ class VolatilityAggregatorSpec extends SparkSpec {
     }
   }
 
+  test("oversized episode fails fast with a diagnosable message, not an OOM") {
+    val rows = (1 to 10).map(i => VolatilityAggregator.TickRow("g", i, 1.0 + i))
+    val e = intercept[Exception] {
+      rows.toDS().groupByKey(_.game_id)
+        .agg(new VolatilityAggregator.Agg(maxTicks = 5).toColumn.name("m"))
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("cap 5")))
+  }
+
   test("vol-of-vol matches pandas rolling(10).std() -> np.std semantics") {
     // prices = 1.0 + 0.1*sin(i) + 0.01*i, i in 0..29 => 29 returns (>= 20).
     // Expected value computed independently with pandas/numpy:
