@@ -19,7 +19,8 @@ object SparkEntry {
     (ops.EventQueries.queries, ops.EventQueries.oracles),
     (ops.AnalyticsQueries.queries, ops.AnalyticsQueries.oracles),
     (text.TextQueries.queries, text.TextQueries.oracles),
-    (similarity.SimilarityQueries.queries, similarity.SimilarityQueries.oracles))
+    (similarity.SimilarityQueries.queries, similarity.SimilarityQueries.oracles),
+    (similarity.DedupClusters.queries, similarity.DedupClusters.oracles))
 
   /** Flagship: the reference's richest single query — `get_tick_features`
     * (`src/services/event_store/duckdb.py:408-458`) — LAG delta, pct change

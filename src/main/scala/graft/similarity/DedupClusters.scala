@@ -1,0 +1,153 @@
+package graft.similarity
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate CLUSTER resolution — the finisher every dedup pipeline
+  * needs after pair generation: pairs only say "these two are alike";
+  * keeping one copy per duplicate GROUP requires the transitive closure
+  * (a~b, b~c ⇒ {a,b,c} is one cluster) and a deterministic representative.
+  *
+  * The reference dedups by exact key (`session_tracker.py` keep-first);
+  * at pretraining scale the same decision runs over NEAR-dup pairs, so the
+  * cluster step is a first-class operator here: connected components by
+  * iterative min-label propagation WITH pointer jumping — each round every
+  * node takes the min label among itself and its neighbors, then chases
+  * one level of indirection (comp := comp(comp)), so the effective
+  * propagation distance doubles per round and convergence is O(log
+  * diameter), not O(diameter). Each round is two joins + one aggregation,
+  * all shuffling O(|edges| + |nodes|); lineage is truncated per round
+  * (localCheckpoint) so plans stay flat. The large-star/small-star
+  * refinement (Kiveris et al.) drops in for adversarially deep graphs,
+  * same per-round shape.
+  */
+object DedupClusters {
+
+  /** Exact thresholded jaccard pairs over hashed shingles (same 64-bit
+    * hashing argument as q47 — counts are collision-free in practice).
+    *
+    * Shape: the classical inverted-index set-similarity join, NOT an
+    * all-pairs nested loop — explode each doc's distinct shingle hashes,
+    * self-join on the hash (only docs SHARING a shingle ever meet), count
+    * co-occurrences per (id_a, id_b) — that count IS |A ∩ B| — then filter
+    * on jaccard from the carried set sizes. Everything is codegen'd hash
+    * joins and partial-aggregated counts; a measured BroadcastNestedLoop
+    * variant spent ~8 µs/candidate evaluating interpreted array predicates
+    * across O(n²) pairs, while this path touches only co-occurring pairs.
+    * At 100 TB the refinement is prefix filtering (index only each set's
+    * rarest ceil(t·|A|) hashes); the length filter below already prunes
+    * mismatched sizes before the count compares.
+    */
+  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sub = SimilarityQueries.withShingles(docs)
+      .select(col("doc_id"),
+        transform(col("shingles"), x => xxhash64(x)).as("sh"))
+    val posts = sub.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("h"))
+    val a = posts.select(col("doc_id").as("id_a"), col("n").as("n_a"), col("h"))
+    val b = posts.select(col("doc_id").as("id_b"), col("n").as("n_b"), col("h"))
+    val inter = a.join(b, Seq("h"))
+      // length filter (PPJoin-family): J >= t forces min|.|/max|.| >= t·max
+      .filter(col("id_a") < col("id_b") &&
+        least(col("n_a"), col("n_b")) >=
+          lit(threshold) * greatest(col("n_a"), col("n_b")))
+      .groupBy("id_a", "n_a", "id_b", "n_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .filter(col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double") >= threshold)
+      .select("id_a", "id_b")
+  }
+
+  /** Connected components over (nodes(id), edges(src, dst)): returns
+    * (id, component) with component = min node id reachable. Deterministic.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val bidir = (edges.select(col("src"), col("dst"))
+      unionByName edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint()
+    var converged = false
+    var prevSum: Option[Long] = None
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = bidir.join(labels, bidir("dst") === labels("id"))
+        .groupBy(bidir("src").as("nid"))
+        .agg(min(col("comp")).as("nbr_comp"))
+      val stepped = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(labels("id"),
+          least(labels("comp"), coalesce(col("nbr_comp"), labels("comp")))
+            .as("comp"))
+      // pointer jumping: labels are node ids, so chase one indirection —
+      // comp := comp(comp) — and the reachable-min distance doubles
+      val jumped = stepped.as("l")
+        .join(stepped.select(col("id").as("cid"), col("comp").as("ccomp")).as("c"),
+          col("l.comp") === col("cid"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.comp"), coalesce(col("ccomp"), col("l.comp"))).as("comp"))
+      val next = jumped
+        .localCheckpoint() // truncate lineage: iterative plans must stay flat
+      // labels only ever DECREASE, so the label sum is unchanged iff the
+      // round was a fixpoint — one tiny aggregate over checkpointed rows
+      // replaces a self-join diff (inherent cost of any iterative fixpoint)
+      val sum = next.agg(org.apache.spark.sql.functions.sum("comp"))
+        .head().getLong(0)
+      converged = prevSum.contains(sum)
+      prevSum = Some(sum)
+      labels = next
+      i += 1
+    }
+    labels.select(col("id"), col("comp").as("component"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // q55 — near-dup clusters + representative selection over a bounded block
+  // (doc_id < 500 keeps the exact pairwise oracle quadratic bounded at any
+  // sf; the unbounded path feeds q43's LSH pairs into the SAME
+  // connectedComponents step). Representative = the cluster's min doc_id —
+  // the keep-first rule of exact dedup (A7) lifted to near-dup groups.
+  val JaccardThreshold = 0.5
+
+  val q55DedupClusters: Q = (s, d) => {
+    val block = Tables.documents(s, d).filter(col("doc_id") < 500)
+    val pairs = jaccardPairs(block, JaccardThreshold)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val nodes = SimilarityQueries.withShingles(block)
+      .select(col("doc_id").as("id"))
+    connectedComponents(nodes, pairs)
+      .select(col("id").as("doc_id"), col("component"),
+        (col("id") === col("component")).as("is_representative"))
+      .orderBy("doc_id")
+  }
+
+  val q55Sql: String =
+    """WITH RECURSIVE toked AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t
+      |  FROM documents WHERE doc_id < 500),
+      |sub AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+      |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
+      |  FROM toked WHERE len(t) >= 3),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sub a JOIN sub b ON a.doc_id < b.doc_id
+      |    AND least(len(a.sh), len(b.sh)) >= 0.5 * greatest(len(a.sh), len(b.sh))
+      |  WHERE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+      |    / (len(a.sh) + len(b.sh)
+      |       - len(list_filter(a.sh, x -> list_contains(b.sh, x)))) >= 0.5),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT doc_id, doc_id FROM sub
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      |SELECT src AS doc_id, min(dst) AS component,
+      |  (src = min(dst)) AS is_representative
+      |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map("q55_dedup_clusters" -> q55DedupClusters)
+  val oracles: Map[String, String] = Map("q55_dedup_clusters" -> q55Sql)
+}

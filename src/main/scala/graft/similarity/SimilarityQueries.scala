@@ -141,10 +141,15 @@ object SimilarityQueries {
   }
 
   /** Adds a `shingles` column over `text`; keeps docs with >= 3 tokens
-    * (>= 3 tokens ⇔ at least one shingle).
+    * (>= 3 tokens ⇔ at least one shingle). The filter tests the TOKEN
+    * count, not `size(shingles) >= 1`: predicate pushdown substitutes a
+    * projected column's defining expression into the filter, and the
+    * shingle pipeline is an interpreted HOF chain — filtering on it would
+    * evaluate that whole chain twice per row (observed in q55's plan).
     */
   def withShingles(docs: DataFrame): DataFrame =
-    addShingles(docs, "text", "shingles").filter(size(col("shingles")) >= 1)
+    addShingles(docs, "text", "shingles")
+      .filter(size(split(col("text"), " ")) >= 3)
 
   /** LSH bucket membership → distinct unordered candidate pairs: expects an
     * `ids` column (the sorted bucket member ids) and emits (id_a, id_b) with

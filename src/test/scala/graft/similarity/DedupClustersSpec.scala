@@ -1,0 +1,49 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupClustersSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("connected components: chain, triangle, singleton all resolve to min id") {
+    // chain 1-2-3-4 (diameter 3 forces multiple propagation rounds),
+    // triangle 10-11-12, singleton 99
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 99L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("src", "dst")
+    val comp = DedupClusters.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 99L -> 99L))
+  }
+
+  test("long path converges within the iteration bound") {
+    val n = 30
+    val nodes = (1L to n.toLong).toDF("id")
+    val edges = (1L until n.toLong).map(i => (i, i + 1)).toDF("src", "dst")
+    val comp = DedupClusters.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.values.toSet === Set(1L))
+  }
+
+  test("q55 shape: every doc labeled, exactly one representative per cluster") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-clusters").toString
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"),      // dup of 1
+      (3L, "a b c d e f g CHANGED"), // near-dup of 1/2
+      (4L, "totally different words appear in here now"),
+      (5L, "x y z p q r s t u v")).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = DedupClusters.q55DedupClusters(spark, dir).collect()
+    assert(out.length === 5)
+    val comps = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(1L) === 1L && comps(2L) === 1L && comps(3L) === 1L)
+    assert(comps(4L) === 4L && comps(5L) === 5L)
+    // exactly one representative per component, and it is the min id
+    val reps = out.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    assert(reps === Set(1L, 4L, 5L))
+  }
+}
