@@ -323,7 +323,39 @@ object AnalyticsQueries {
        |FROM t ORDER BY event_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // q56 — deterministic stratified sampling for corpus mixing: every
+  // training-data pipeline downsamples per stratum (here lang) to hit a
+  // target mixture. The sampler is the D9 hash split (md5 -> [0,1),
+  // graft.hashBucket01) gated per-stratum, NOT rand(): the same corpus
+  // always yields the same sample (resumable, auditable, join-stable),
+  // and membership is decided at scan speed with zero shuffle — the only
+  // aggregation is the tiny per-stratum report. Rates: en kept at 80%,
+  // mid-resource halved, tail languages 10%.
+  val q56StratifiedSample: Q = (s, d) => {
+    val rate = when(col("lang") === "en", 0.8)
+      .when(col("lang").isin("zh", "es", "de", "fr"), 0.5)
+      .otherwise(0.1)
+    Tables.documents(s, d)
+      .filter(graft.hashBucket01(col("doc_id")) < rate)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"),
+        // the sample is reproducible, so its id-sum is a stable fingerprint
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy("lang")
+  }
+  val q56Sql: String =
+    """SELECT lang, count(*) AS n_sampled, sum(doc_id) AS id_sum
+      |FROM documents
+      |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |        / 4294967295.0
+      |      < CASE WHEN lang = 'en' THEN 0.8
+      |             WHEN lang IN ('zh', 'es', 'de', 'fr') THEN 0.5
+      |             ELSE 0.1 END
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q56_stratified_sample" -> q56StratifiedSample,
     "q45_volatility_metrics" -> q45Volatility,
     "q46_equity_curve" -> q46Equity,
     "q50_obs_features" -> q50ObsFeatures,
@@ -332,6 +364,7 @@ object AnalyticsQueries {
     "q54_rug_probability" -> q54RugProbability)
 
   val oracles: Map[String, String] = Map(
+    "q56_stratified_sample" -> q56Sql,
     "q45_volatility_metrics" -> q45Sql,
     "q46_equity_curve" -> q46Sql,
     "q50_obs_features" -> q50Sql,
