@@ -18,17 +18,20 @@ object Tables {
     * `spark.read.parquet` re-lists the directory and re-reads a footer for
     * schema inference on EVERY call — pure driver-side latency repeated by
     * each of the ~50 registered queries over the same ten tables. A
-    * DataFrame is an immutable plan, so reuse within a session is safe;
-    * keyed weakly by session so a stopped session's entries are
-    * collectable. On a real warehouse the catalog's table metadata plays
-    * this role.
+    * DataFrame is an immutable plan, so reuse within a session is safe
+    * (the memo also pins the file listing: files added to a dir
+    * mid-session are invisible until a new session). Stopped sessions are
+    * purged on the next load — a weak key alone would never collect,
+    * because the cached DataFrame strongly references its session. On a
+    * real warehouse the catalog's table metadata plays this role.
     */
   private val scanCache =
-    new java.util.WeakHashMap[SparkSession,
+    new java.util.HashMap[SparkSession,
       scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     scanCache.synchronized {
+      scanCache.entrySet.removeIf(_.getKey.sparkContext.isStopped)
       scanCache.computeIfAbsent(spark,
           _ => scala.collection.concurrent.TrieMap.empty)
         .getOrElseUpdate((sfDir, name),

@@ -175,6 +175,19 @@ object GameAnalytics {
     val rollingVols = transform(
       sequence(lit(VolOfVolWindow), nRets),
       i => sampleStdSlice(slice(rets, i - lit(VolOfVolWindow - 1), lit(VolOfVolWindow))))
+    // population std of the ROLLING series in one pass with the window
+    // count derived arithmetically: popStd's mean-centered form would
+    // inline mean(rollingVols) into its lambda and size(rollingVols) into
+    // the divisor, re-evaluating the whole rolling-window build (itself
+    // O(n·w)) once per element — super-quadratic per game row
+    val volOfVol = {
+      val acc = aggregate(rollingVols,
+        struct(lit(0.0).as("s"), lit(0.0).as("s2")),
+        (a, x) => struct((a("s") + x).as("s"), (a("s2") + x * x).as("s2")))
+      val nWin = (nRets - lit(VolOfVolWindow - 1)).cast("double")
+      val m = acc("s") / nWin
+      sqrt(greatest(acc("s2") / nWin - m * m, lit(0.0)))
+    }
     dedupedGames
       .filter(size(p) >= 2)
       .select(
@@ -193,7 +206,7 @@ object GameAnalytics {
           .as("avg_spike_magnitude"),
         // guard keeps sequence() ascending: below 20 returns the rolling
         // series is never built (sequence(10, n<10) would run DESCENDING)
-        when(nRets >= VolOfVolMinReturns, popStd(rollingVols)).otherwise(0.0)
+        when(nRets >= VolOfVolMinReturns, volOfVol).otherwise(0.0)
           .as("vol_of_vol"),
         col("peak_multiplier"),
         element_at(p, -1).as("final_price"),

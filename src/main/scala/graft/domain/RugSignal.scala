@@ -23,7 +23,10 @@ object RugSignal {
   val BelowZero = 0.10
   val AboveMax = 0.96
 
-  /** Scalar form (streaming state machines, tests). */
+  /** Scalar form (streaming state machines, tests). Parenthesized the
+    * same way as the Column and SQL forms (divide first) so all three are
+    * bit-identical.
+    */
   def baseRugProbability(tick: Int): Double =
     if (tick < 0) BelowZero
     else if (tick > BaseProbabilityCurve.last._1) AboveMax
@@ -33,7 +36,7 @@ object RugSignal {
       else {
         val (t1, p1) = BaseProbabilityCurve(i)
         val (t2, p2) = BaseProbabilityCurve(i + 1)
-        p1 + (p2 - p1) * (tick - t1).toDouble / (t2 - t1)
+        p1 + (p2 - p1) * ((tick - t1).toDouble / (t2 - t1))
       }
     }
 
@@ -46,8 +49,11 @@ object RugSignal {
     val segments = BaseProbabilityCurve.zip(BaseProbabilityCurve.tail)
     val ladder = segments.foldLeft(
       when(tick < 0, BelowZero)) { case (acc, ((t1, p1), (t2, p2))) =>
+      // ratio divided FIRST, then scaled — must match the generated SQL's
+      // parenthesization exactly or the unrounded double drifts 1 ulp at
+      // some ticks (139, 151 at these knots)
       acc.when(tick <= t2,
-        lit(p1) + lit(p2 - p1) * (tick - lit(t1)) / lit(t2 - t1))
+        lit(p1) + lit(p2 - p1) * ((tick - lit(t1)) / lit(t2 - t1)))
     }
     ladder.otherwise(AboveMax)
   }

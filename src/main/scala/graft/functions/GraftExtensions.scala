@@ -15,28 +15,15 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def builder(exprs: Seq[Expression]): Expression = exprs match {
-    case Seq(arr) => MinHashSignature(arr, 16)
-    case Seq(arr, k) =>
-      MinHashSignature(arr, k.eval().asInstanceOf[Number].intValue())
-    case _ =>
-      throw new IllegalArgumentException("minhash_signature(arr [, numHashes])")
-  }
-
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
-      builder))
+      MinHashSignature.build))
     ext.injectFunction((
       FunctionIdentifier("minhash_text"),
       new ExpressionInfo(classOf[MinHashFromText].getName, "minhash_text"),
-      exprs => exprs match {
-        case Seq(t) => MinHashFromText(t, 16)
-        case Seq(t, k) =>
-          MinHashFromText(t, k.eval().asInstanceOf[Number].intValue())
-        case _ => throw new IllegalArgumentException("minhash_text(text [, k])")
-      }))
+      MinHashFromText.build))
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),

@@ -101,7 +101,8 @@ case class MinHashFromText(child: Expression, numHashes: Int)
 
 object MinHashFromText {
 
-  private def build(exprs: Seq[Expression]): Expression = exprs match {
+  /** Shared by [[register]] and GraftExtensions — one builder, no drift. */
+  def build(exprs: Seq[Expression]): Expression = exprs match {
     case Seq(t) => MinHashFromText(t, 16)
     case Seq(t, k) =>
       MinHashFromText(t, k.eval().asInstanceOf[Number].intValue())

@@ -107,7 +107,8 @@ object MinHashSignature {
     z ^ (z >>> 31)
   }
 
-  private def build(exprs: Seq[Expression]): Expression = exprs match {
+  /** Shared by [[register]] and GraftExtensions — one builder, no drift. */
+  def build(exprs: Seq[Expression]): Expression = exprs match {
     case Seq(arr) => MinHashSignature(arr, 16)
     case Seq(arr, k) =>
       MinHashSignature(arr, k.eval().asInstanceOf[Number].intValue())

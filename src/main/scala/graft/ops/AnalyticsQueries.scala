@@ -345,7 +345,8 @@ object AnalyticsQueries {
       .orderBy("lang")
   }
   val q56Sql: String =
-    """SELECT lang, count(*) AS n_sampled, sum(doc_id) AS id_sum
+    """SELECT lang, count(*) AS n_sampled,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum
       |FROM documents
       |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
       |        / 4294967295.0

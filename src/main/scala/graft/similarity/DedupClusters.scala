@@ -92,8 +92,9 @@ object DedupClusters {
       // labels only ever DECREASE, so the label sum is unchanged iff the
       // round was a fixpoint — one tiny aggregate over checkpointed rows
       // replaces a self-join diff (inherent cost of any iterative fixpoint)
-      val sum = next.agg(org.apache.spark.sql.functions.sum("comp"))
-        .head().getLong(0)
+      val sumRow = next.agg(org.apache.spark.sql.functions.sum("comp")).head()
+      // sum over ZERO rows is null (empty nodes): treat as converged-at-0
+      val sum = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
       converged = prevSum.contains(sum)
       prevSum = Some(sum)
       labels = next

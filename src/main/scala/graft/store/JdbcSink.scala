@@ -58,23 +58,39 @@ object JdbcSink {
   }
 
   private def tableExists(conn: Connection, table: String): Boolean = {
-    val rs = conn.getMetaData.getTables(null, null, table.toUpperCase, null)
-    try rs.next() finally rs.close()
+    // identifier case folding is database-specific (Derby/H2 store
+    // unquoted names upper, PostgreSQL lower) — probe all three spellings
+    Seq(table, table.toUpperCase, table.toLowerCase).distinct.exists { n =>
+      val rs = conn.getMetaData.getTables(null, null, n, null)
+      try rs.next() finally rs.close()
+    }
   }
 
-  /** Append `df` to `table`, skipping rows whose `key` already exists
-    * (and keeping the first row per key within the batch). Returns the
-    * number of rows actually written.
+  /** Append `df` to `table`, skipping rows whose `key` already exists.
+    * Within the batch, duplicates of a key collapse to ONE row: when
+    * `keepMinOf` names columns, the kept row is the one minimizing those
+    * columns in order (deterministic regardless of partitioning — pass the
+    * batch's sequence/timestamp column to reproduce the reference's
+    * keep-first INSERT OR IGNORE); when empty, an arbitrary row of the key
+    * wins (Spark's dropDuplicates). Returns the number of rows written.
     */
   def appendIdempotent(df: DataFrame, url: String, table: String,
-      key: String, props: Properties = new Properties): Long = {
+      key: String, props: Properties = new Properties,
+      keepMinOf: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     ensureTable(url, table, df, key)
+    val deduped =
+      if (keepMinOf.isEmpty) df.dropDuplicates(key)
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(key).orderBy(keepMinOf.map(col): _*)
+        df.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
     // only the key column crosses from the database — a pushed-down
     // single-column scan the JDBC source turns into SELECT key FROM table
     val existing = spark.read.jdbc(url, table, props).select(key)
-    val fresh = df
-      .dropDuplicates(key)
+    val fresh = deduped
       .join(existing, Seq(key), "left_anti")
       .persist() // one computation serves both the count and the write
     try {

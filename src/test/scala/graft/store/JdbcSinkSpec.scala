@@ -30,14 +30,19 @@ class JdbcSinkSpec extends SparkSpec {
     val first = Seq(game("g1", 1000L, 2.5), game("g2", 2000L, 1.1))
       .toDF("game_id", "timestamp_ms", "peak_multiplier", "rugged")
     assert(JdbcSink.appendIdempotent(first, url, "game_history", "game_id") === 2L)
-    // g1/g2 already present; g4 appears twice in the batch -> one insert
+    // g1/g2 already present; g4 appears twice in the batch -> one insert,
+    // and keepMinOf makes the kept row the EARLIEST by timestamp
+    // (deterministic keep-first regardless of partitioning)
     val overlap = Seq(game("g1", 1000L, 2.5), game("g2", 2000L, 1.1),
-      game("g4", 4000L, 3.3), game("g4", 4001L, 3.4))
+      game("g4", 4001L, 3.4), game("g4", 4000L, 3.3))
       .toDF("game_id", "timestamp_ms", "peak_multiplier", "rugged")
-    assert(JdbcSink.appendIdempotent(overlap, url, "game_history", "game_id") === 1L)
+    assert(JdbcSink.appendIdempotent(overlap, url, "game_history", "game_id",
+      keepMinOf = Seq("timestamp_ms")) === 1L)
     val back = spark.read.jdbc(url, "game_history", new java.util.Properties)
     assert(back.count() === 3)
     assert(back.select("game_id").as[String].collect().sorted === Array("g1", "g2", "g4"))
+    assert(back.filter($"game_id" === "g4").select("peak_multiplier")
+      .head().getDouble(0) === 3.3)
   }
 
   test("primary key backstops a racing writer: raw duplicate append fails") {
