@@ -161,7 +161,107 @@ object TextQueries {
       |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS en_score
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q57 — sequence-packing plan: pretraining batches concatenate documents
+  // into fixed token budgets; the PLAN (which docs land in which pack) is
+  // a running token sum in deterministic doc order — a doc belongs to the
+  // pack where its first token lands in the concatenated stream. Pure
+  // window arithmetic, one partition-free cumulative sum expressed as a
+  // global ordered window — at 100 TB the order key becomes
+  // (shard, doc_id) so each shard packs independently (the window then
+  // partitions by shard); here the corpus is one logical shard.
+  val PackBudget = 512
+  val q57SequencePacking: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.documents(s, d)
+      .select(col("doc_id"), size(toks).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      // start offset = cum - n_tokens; integer division picks the pack
+      .withColumn("pack_id", ((col("cum") - col("n_tokens")) / PackBudget)
+        .cast("bigint"))
+      .groupBy("pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("pack_id")
+  }
+  val q57Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |    sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t)
+       |SELECT CAST((cum - n_tokens) // $PackBudget AS BIGINT) AS pack_id,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY 1 ORDER BY pack_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q58 — train/eval decontamination: split the corpus with the
+  // deterministic hash (D9), then flag eval docs sharing ANY 8-token
+  // shingle with ANY train doc — the n-gram-overlap contamination check
+  // every benchmark-hygiene pipeline runs before training. 8 tokens, not
+  // the dedup pipeline's 3: on this corpus a 3-gram bar flags EVERY eval
+  // doc (common trigrams are ubiquitous in a small vocabulary) while
+  // 8-grams isolate genuine near-copies — the same reason production
+  // checks use long n-grams (GPT-3's was 13). Shape: explode both sides'
+  // shingles and LEFT SEMI join eval postings against train postings —
+  // only (doc_id, shingle) rows shuffle, the semi join never explodes
+  // rows, and the distinct collapses multi-shingle hits.
+  val DecontaminationNgram = 8
+  val q58Decontamination: Q = (s, d) => {
+    val n = DecontaminationNgram
+    val sh = transform(sequence(lit(1), size(toks) - (n - 1)),
+      i => array_join(slice(toks, i, lit(n)), " "))
+    val docs = Tables.documents(s, d)
+      .filter(size(toks) >= n)
+      .select(col("doc_id"), array_distinct(sh).as("shingles"),
+        (graft.hashBucket01(col("doc_id")) < 0.8).as("is_train"))
+    val trainShingles = docs.filter(col("is_train"))
+      .select(explode(col("shingles")).as("shingle")).distinct()
+    val evalPostings = docs.filter(!col("is_train"))
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val contaminated = evalPostings
+      .join(trainShingles, Seq("shingle"), "left_semi")
+      .select("doc_id").distinct()
+    docs.filter(!col("is_train"))
+      .select(col("doc_id"))
+      .join(contaminated.withColumn("contaminated", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"))
+      .orderBy("doc_id")
+  }
+  val q58Sql: String =
+    """WITH toked AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t,
+      |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |      / 4294967295.0 < 0.8 AS is_train
+      |  FROM documents),
+      |sub AS (
+      |  SELECT doc_id, is_train,
+      |    list_distinct(list_transform(range(len(t) - 7),
+      |      i -> list_aggregate(t[i+1:i+8], 'string_agg', ' '))) AS sh
+      |  FROM toked WHERE len(t) >= 8),
+      |train_sh AS (
+      |  SELECT DISTINCT unnest(sh) AS shingle FROM sub WHERE is_train),
+      |eval_post AS (
+      |  SELECT doc_id, unnest(sh) AS shingle FROM sub WHERE NOT is_train),
+      |contaminated AS (
+      |  SELECT DISTINCT doc_id FROM eval_post
+      |  WHERE shingle IN (SELECT shingle FROM train_sh))
+      |SELECT s.doc_id, (c.doc_id IS NOT NULL) AS contaminated
+      |FROM sub s LEFT JOIN contaminated c USING (doc_id)
+      |WHERE NOT s.is_train ORDER BY s.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q57_sequence_packing" -> q57SequencePacking,
+    "q58_decontamination" -> q58Decontamination,
     "q32_token_count" -> q32TokenCount,
     "q33_text_quality" -> q33Quality,
     "q34_lang_stats" -> q34LangStats,
@@ -170,6 +270,8 @@ object TextQueries {
     "q37_lang_id" -> q37LangId)
 
   val oracles: Map[String, String] = Map(
+    "q57_sequence_packing" -> q57Sql,
+    "q58_decontamination" -> q58Sql,
     "q32_token_count" -> q32Sql,
     "q33_text_quality" -> q33Sql,
     "q34_lang_stats" -> q34Sql,
