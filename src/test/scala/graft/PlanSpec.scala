@@ -82,6 +82,16 @@ class PlanSpec extends SparkSpec {
     assert(plan("q54_rug_probability").contains("windowspecdefinition(user_id"))
   }
 
+  test("q55 pair generation: inverted-index join, never a nested loop") {
+    val block = Tables.documents(spark, d)
+    val p = similarity.DedupClusters.jaccardPairs(block, 0.5)
+      .queryExecution.sparkPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "thresholded set-similarity must join postings on the shingle hash, " +
+        s"not nested-loop all pairs:\n${p.take(1500)}")
+    assert(p.contains("Join"), "expected a hash join on the exploded postings")
+  }
+
   test("q53: rug argmax is a partial-aggregated groupBy feeding a broadcast join") {
     val p = plan("q53_sidebet_labels")
     assert(p.contains("partial_max_by") || p.contains("partial_"),
