@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
-  private val modules: Seq[(Map[String, Q], Map[String, String])] = Seq(
+  private[graft] val modules: Seq[(Map[String, Q], Map[String, String])] = Seq(
     (ops.CoreQueries.queries, ops.CoreQueries.oracles),
     (ops.WindowQueries.queries, ops.WindowQueries.oracles),
     (ops.EventQueries.queries, ops.EventQueries.oracles),

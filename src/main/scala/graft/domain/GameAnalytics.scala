@@ -150,14 +150,17 @@ object GameAnalytics {
       val m = mean(arr)
       sqrt(aggregate(arr, lit(0.0), (a, x) => a + (x - m) * (x - m)) / size(arr))
     }
-    // Sample std of a fixed-width slice in ONE pass (sum + sum-of-squares):
-    // the mean-centered form would re-evaluate the inner mean aggregate per
-    // element (the O(n·w²) HOF-inlining pitfall). greatest() clamps the
+    // ONE-pass (sum, sum-of-squares) fold — the shared kernel for every
+    // std over a derived array: the mean-centered form would re-evaluate
+    // the inner mean aggregate (and the array-building expression under
+    // it) once per element, the O(n·w²)+ HOF-inlining pitfall.
+    def sumSq(arr: Column): Column = aggregate(arr,
+      struct(lit(0.0).as("s"), lit(0.0).as("s2")),
+      (a, x) => struct((a("s") + x).as("s"), (a("s2") + x * x).as("s2")))
+    // Sample std of a fixed-width slice; greatest() clamps the
     // cancellation residue of identical-value windows to 0.
     def sampleStdSlice(sl: Column): Column = {
-      val acc = aggregate(sl,
-        struct(lit(0.0).as("s"), lit(0.0).as("s2")),
-        (a, x) => struct((a("s") + x).as("s"), (a("s2") + x * x).as("s2")))
+      val acc = sumSq(sl)
       val n = size(sl).cast("double")
       sqrt(greatest(
         (acc("s2") - acc("s") * acc("s") / n) / (n - lit(1.0)), lit(0.0)))
@@ -175,15 +178,11 @@ object GameAnalytics {
     val rollingVols = transform(
       sequence(lit(VolOfVolWindow), nRets),
       i => sampleStdSlice(slice(rets, i - lit(VolOfVolWindow - 1), lit(VolOfVolWindow))))
-    // population std of the ROLLING series in one pass with the window
-    // count derived arithmetically: popStd's mean-centered form would
-    // inline mean(rollingVols) into its lambda and size(rollingVols) into
-    // the divisor, re-evaluating the whole rolling-window build (itself
-    // O(n·w)) once per element — super-quadratic per game row
+    // population std of the ROLLING series via the same one-pass fold,
+    // window count derived arithmetically (size(rollingVols) would
+    // re-evaluate the whole O(n·w) rolling build a second time)
     val volOfVol = {
-      val acc = aggregate(rollingVols,
-        struct(lit(0.0).as("s"), lit(0.0).as("s2")),
-        (a, x) => struct((a("s") + x).as("s"), (a("s2") + x * x).as("s2")))
+      val acc = sumSq(rollingVols)
       val nWin = (nRets - lit(VolOfVolWindow - 1)).cast("double")
       val m = acc("s") / nWin
       sqrt(greatest(acc("s2") / nWin - m * m, lit(0.0)))

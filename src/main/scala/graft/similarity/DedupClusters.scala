@@ -100,6 +100,12 @@ object DedupClusters {
       labels = next
       i += 1
     }
+    // returning partially-propagated labels would silently split one real
+    // cluster into phantom components, each "represented" by a duplicate
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge within $maxIter rounds " +
+        "(pointer jumping covers distance 2^rounds — is the graph " +
+        "adversarially deep, or maxIter too small?)")
     labels.select(col("id"), col("comp").as("component"))
   }
 
@@ -124,7 +130,9 @@ object DedupClusters {
   }
 
   val q55Sql: String =
-    """WITH RECURSIVE toked AS (
+    // threshold interpolated from the SAME constant as the Spark query —
+    // a literal copy would silently desynchronize the oracle on change
+    s"""WITH RECURSIVE toked AS (
       |  SELECT doc_id, string_split(text, ' ') AS t
       |  FROM documents WHERE doc_id < 500),
       |sub AS (
@@ -134,10 +142,12 @@ object DedupClusters {
       |pairs AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM sub a JOIN sub b ON a.doc_id < b.doc_id
-      |    AND least(len(a.sh), len(b.sh)) >= 0.5 * greatest(len(a.sh), len(b.sh))
+      |    AND least(len(a.sh), len(b.sh))
+      |      >= $JaccardThreshold * greatest(len(a.sh), len(b.sh))
       |  WHERE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
       |    / (len(a.sh) + len(b.sh)
-      |       - len(list_filter(a.sh, x -> list_contains(b.sh, x)))) >= 0.5),
+      |       - len(list_filter(a.sh, x -> list_contains(b.sh, x))))
+      |    >= $JaccardThreshold),
       |edges AS (
       |  SELECT id_a AS src, id_b AS dst FROM pairs
       |  UNION ALL SELECT id_b, id_a FROM pairs),

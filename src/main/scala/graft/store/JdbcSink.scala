@@ -58,10 +58,16 @@ object JdbcSink {
   }
 
   private def tableExists(conn: Connection, table: String): Boolean = {
-    // identifier case folding is database-specific (Derby/H2 store
-    // unquoted names upper, PostgreSQL lower) — probe all three spellings
+    // getTables treats its name argument as a PATTERN ('_' matches any
+    // char — "game_history" would match a stray GAME1HISTORY), so escape
+    // wildcards with the driver's escape string; identifier case folding
+    // is database-specific (Derby/H2 upper, PostgreSQL lower) — probe all
+    // three spellings
+    val esc = conn.getMetaData.getSearchStringEscape
+    def escaped(n: String): String =
+      n.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
     Seq(table, table.toUpperCase, table.toLowerCase).distinct.exists { n =>
-      val rs = conn.getMetaData.getTables(null, null, n, null)
+      val rs = conn.getMetaData.getTables(null, null, escaped(n), null)
       try rs.next() finally rs.close()
     }
   }
@@ -82,8 +88,14 @@ object JdbcSink {
     val deduped =
       if (keepMinOf.isEmpty) df.dropDuplicates(key)
       else {
+        // the remaining columns break keepMinOf ties, so the window is a
+        // TOTAL order on row content — without it, rows equal on keepMinOf
+        // would win by shuffle arrival order, the nondeterminism this
+        // parameter exists to eliminate (fully identical rows remain
+        // interchangeable, which is harmless)
+        val tiebreak = df.columns.toSeq.filterNot((keepMinOf :+ key).contains)
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(key).orderBy(keepMinOf.map(col): _*)
+          .partitionBy(key).orderBy((keepMinOf ++ tiebreak).map(col): _*)
         df.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
       }

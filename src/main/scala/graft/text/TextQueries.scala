@@ -215,14 +215,21 @@ object TextQueries {
   // only (doc_id, shingle) rows shuffle, the semi join never explodes
   // rows, and the distinct collapses multi-shingle hits.
   val DecontaminationNgram = 8
+  val TrainFraction = 0.8
   val q58Decontamination: Q = (s, d) => {
     val n = DecontaminationNgram
     val sh = transform(sequence(lit(1), size(toks) - (n - 1)),
       i => array_join(slice(toks, i, lit(n)), " "))
     val docs = Tables.documents(s, d)
-      .filter(size(toks) >= n)
-      .select(col("doc_id"), array_distinct(sh).as("shingles"),
-        (graft.hashBucket01(col("doc_id")) < 0.8).as("is_train"))
+      .select(col("doc_id"),
+        // docs under n tokens keep an EMPTY shingle set (inside the when:
+        // sequence(1, negative) would run descending) so short eval docs
+        // still appear in the report as contaminated=false — an 8-gram
+        // check simply cannot flag them, and silently dropping them would
+        // make the output read as "every eval doc, flagged" when it isn't
+        when(size(toks) >= n, array_distinct(sh))
+          .otherwise(array().cast("array<string>")).as("shingles"),
+        (graft.hashBucket01(col("doc_id")) < TrainFraction).as("is_train"))
     val trainShingles = docs.filter(col("is_train"))
       .select(explode(col("shingles")).as("shingle")).distinct()
     val evalPostings = docs.filter(!col("is_train"))
@@ -237,17 +244,22 @@ object TextQueries {
         coalesce(col("contaminated"), lit(false)).as("contaminated"))
       .orderBy("doc_id")
   }
-  val q58Sql: String =
-    """WITH toked AS (
+  val q58Sql: String = {
+    // constants interpolated from the SAME vals as the Spark query (the
+    // generated-SQL convention: literals copied by hand drift on change);
+    // DuckDB's range(negative) is already empty, so short docs keep an
+    // empty shingle list and stay in the report like the Spark side
+    val n = DecontaminationNgram
+    s"""WITH toked AS (
       |  SELECT doc_id, string_split(text, ' ') AS t,
       |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-      |      / 4294967295.0 < 0.8 AS is_train
+      |      / 4294967295.0 < $TrainFraction AS is_train
       |  FROM documents),
       |sub AS (
       |  SELECT doc_id, is_train,
-      |    list_distinct(list_transform(range(len(t) - 7),
-      |      i -> list_aggregate(t[i+1:i+8], 'string_agg', ' '))) AS sh
-      |  FROM toked WHERE len(t) >= 8),
+      |    list_distinct(list_transform(range(len(t) - ${n - 1}),
+      |      i -> list_aggregate(t[i+1:i+$n], 'string_agg', ' '))) AS sh
+      |  FROM toked),
       |train_sh AS (
       |  SELECT DISTINCT unnest(sh) AS shingle FROM sub WHERE is_train),
       |eval_post AS (
@@ -258,6 +270,7 @@ object TextQueries {
       |SELECT s.doc_id, (c.doc_id IS NOT NULL) AS contaminated
       |FROM sub s LEFT JOIN contaminated c USING (doc_id)
       |WHERE NOT s.is_train ORDER BY s.doc_id""".stripMargin
+  }
 
   val queries: Map[String, Q] = Map(
     "q57_sequence_packing" -> q57SequencePacking,

@@ -19,13 +19,10 @@ class SparkEntrySpec extends SparkSpec {
     val qs = SparkEntry.queries
     val orphans = SparkEntry.oracleSql.keySet.diff(qs.keySet)
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
-    // the per-module maps must not shadow each other (Map ++ keeps last)
-    val perModule = Seq(
-      ops.CoreQueries.queries, ops.WindowQueries.queries,
-      ops.EventQueries.queries, ops.AnalyticsQueries.queries,
-      text.TextQueries.queries, similarity.SimilarityQueries.queries,
-      similarity.DedupClusters.queries)
-    val total = perModule.map(_.size).sum
+    // the per-module maps must not shadow each other (Map ++ keeps last);
+    // derived from SparkEntry.modules itself so a new module can't be
+    // forgotten here
+    val total = SparkEntry.modules.map(_._1.size).sum
     assert(total === qs.size,
       "duplicate query name across modules would silently shadow one")
   }
