@@ -28,6 +28,37 @@ class DedupClustersSpec extends SparkSpec {
     assert(comp.values.toSet === Set(1L))
   }
 
+  test("property: components agree with a reference union-find on random graphs") {
+    val rnd = new scala.util.Random(20260812L)
+    for (_ <- 1 to 5) {
+      val n = 15 + rnd.nextInt(25)
+      val nEdges = rnd.nextInt(n * 2)
+      val nodes = (1L to n.toLong).toDF("id")
+      val edgeSeq = Seq.fill(nEdges)(
+        (1L + rnd.nextInt(n), 1L + rnd.nextInt(n))).filter(e => e._1 != e._2)
+      // reference union-find with path compression
+      val parent = Array.tabulate(n + 1)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edgeSeq.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (1 to n).map(i => i.toLong -> find(i).toLong).toMap
+      val edges =
+        if (edgeSeq.isEmpty) Seq.empty[(Long, Long)].toDF("src", "dst")
+        else edgeSeq.toDF("src", "dst")
+      val got = DedupClusters.connectedComponents(nodes, edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"n=$n edges=$edgeSeq")
+    }
+  }
+
   test("q55 shape: every doc labeled, exactly one representative per cluster") {
     val dir = java.nio.file.Files.createTempDirectory("graft-clusters").toString
     val docs = Seq(
