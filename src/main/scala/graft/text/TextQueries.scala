@@ -272,7 +272,59 @@ object TextQueries {
       |WHERE NOT s.is_train ORDER BY s.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // q59 — the curation pipeline COMPOSED end-to-end, the way a real corpus
+  // build chains the stages: quality gate (stopword ratio within the
+  // natural-language band, tokens >= 5) → exact dedup (keep the min doc_id
+  // per md5(text), A7's keep-first) → deterministic stratified sample
+  // (q56's md5 gate at half rate) → per-(lang, source) yield report.
+  // Everything stays one relational plan: the quality gate is scan-local,
+  // dedup is one 16-byte-key shuffle, the sample gate is scan-local again,
+  // and ONLY the tiny rollup aggregates — i.e. composing stages adds no
+  // new data movement beyond the dedup shuffle they'd each need alone.
+  val QualityMinStopwordRatio = 0.02
+  val QualityMinTokens = 5
+  val CurationSampleRate = 0.5
+  val q59CurationPipeline: Q = (s, d) => {
+    val nTok = size(toks)
+    val nStop = size(filter(toks, t => t.isin(stopwords: _*)))
+    val quality = Tables.documents(s, d)
+      .filter(nTok >= QualityMinTokens &&
+        nStop.cast("double") / nTok.cast("double") >= QualityMinStopwordRatio)
+    val deduped = quality
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .drop("h")
+      .join(quality, Seq("doc_id")) // re-attach lang/source of the kept doc
+    deduped
+      .filter(graft.hashBucket01(col("doc_id")) < CurationSampleRate)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).as("kept_chars"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy("lang", "source")
+  }
+  val q59Sql: String =
+    s"""WITH quality AS (
+       |  SELECT * FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $QualityMinTokens
+       |    AND CAST(len(list_filter(string_split(text, ' '),
+       |          t -> t IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE)
+       |        / CAST(len(string_split(text, ' ')) AS DOUBLE)
+       |        >= $QualityMinStopwordRatio),
+       |deduped AS (
+       |  SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)),
+       |sampled AS (
+       |  SELECT q.* FROM deduped d JOIN quality q USING (doc_id)
+       |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       |      / 4294967295.0 < $CurationSampleRate)
+       |SELECT lang, source, count(*) AS n_kept,
+       |  CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+       |  min(doc_id) AS min_doc
+       |FROM sampled GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q59_curation_pipeline" -> q59CurationPipeline,
     "q57_sequence_packing" -> q57SequencePacking,
     "q58_decontamination" -> q58Decontamination,
     "q32_token_count" -> q32TokenCount,
@@ -283,6 +335,7 @@ object TextQueries {
     "q37_lang_id" -> q37LangId)
 
   val oracles: Map[String, String] = Map(
+    "q59_curation_pipeline" -> q59Sql,
     "q57_sequence_packing" -> q57Sql,
     "q58_decontamination" -> q58Sql,
     "q32_token_count" -> q32Sql,
