@@ -45,6 +45,20 @@ class JdbcSinkSpec extends SparkSpec {
       .head().getDouble(0) === 3.3)
   }
 
+  test("keepMinOf ties break on remaining columns, not shuffle order") {
+    val url = freshUrl()
+    // same key, SAME timestamp: the tiebreak must pick the min remaining
+    // columns (peak 3.3) deterministically, repartitioned or not
+    val batch = Seq(game("g1", 1000L, 3.4), game("g1", 1000L, 3.3))
+      .toDF("game_id", "timestamp_ms", "peak_multiplier", "rugged")
+      .repartition(8)
+    JdbcSink.appendIdempotent(batch, url, "game_history", "game_id",
+      keepMinOf = Seq("timestamp_ms"))
+    val kept = spark.read.jdbc(url, "game_history", new java.util.Properties)
+      .select("peak_multiplier").head().getDouble(0)
+    assert(kept === 3.3)
+  }
+
   test("primary key backstops a racing writer: raw duplicate append fails") {
     val url = freshUrl()
     val batch = Seq(game("g1", 1000L, 2.5))
