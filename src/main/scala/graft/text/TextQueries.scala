@@ -274,14 +274,15 @@ object TextQueries {
 
   // ---------------------------------------------------------------------------
   // q59 — the curation pipeline COMPOSED end-to-end, the way a real corpus
-  // build chains the stages: quality gate (stopword ratio within the
-  // natural-language band, tokens >= 5) → exact dedup (keep the min doc_id
-  // per md5(text), A7's keep-first) → deterministic stratified sample
-  // (q56's md5 gate at half rate) → per-(lang, source) yield report.
-  // Everything stays one relational plan: the quality gate is scan-local,
-  // dedup is one 16-byte-key shuffle, the sample gate is scan-local again,
-  // and ONLY the tiny rollup aggregates — i.e. composing stages adds no
-  // new data movement beyond the dedup shuffle they'd each need alone.
+  // build chains the stages: quality gate (minimum stopword ratio — a
+  // natural-language floor; tokens >= 5) → exact dedup (keep the min
+  // doc_id per md5(text), A7's keep-first) → deterministic stratified
+  // sample (q56's md5 gate at half rate) → per-(lang, source) yield
+  // report. One relational plan with ONE exchange: the kept doc's
+  // attributes ride the dedup shuffle inside a doc_id-first struct-min
+  // (min doc_id wins and carries its lang/source/n_chars), so documents
+  // are scanned once and no re-attach join exists; the sample gate and
+  // rollup run on the already-tiny dedup output.
   val QualityMinStopwordRatio = 0.02
   val QualityMinTokens = 5
   val CurationSampleRate = 0.5
@@ -293,9 +294,10 @@ object TextQueries {
         nStop.cast("double") / nTok.cast("double") >= QualityMinStopwordRatio)
     val deduped = quality
       .groupBy(md5(col("text")).as("h"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .drop("h")
-      .join(quality, Seq("doc_id")) // re-attach lang/source of the kept doc
+      .agg(min(struct(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"))).as("k"))
+      .select(col("k.doc_id").as("doc_id"), col("k.lang").as("lang"),
+        col("k.source").as("source"), col("k.n_chars").as("n_chars"))
     deduped
       .filter(graft.hashBucket01(col("doc_id")) < CurationSampleRate)
       .groupBy("lang", "source")
