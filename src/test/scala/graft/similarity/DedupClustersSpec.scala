@@ -59,6 +59,26 @@ class DedupClustersSpec extends SparkSpec {
     }
   }
 
+  test("property: prefix-filtered pairs equal full-postings pairs on random corpora") {
+    val rnd = new scala.util.Random(991L)
+    val vocab = (1 to 30).map(i => s"w$i")
+    for (trial <- 1 to 3; t <- Seq(0.5, 0.8)) {
+      val base = Seq.fill(20 + rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size)))
+      val docs = (1L to 30L).map { i =>
+        // mix of near-copies of base (high jaccard) and fresh random docs
+        val words =
+          if (i % 3 == 0) base.map(w => if (rnd.nextInt(10) == 0) "X" + w else w)
+          else Seq.fill(20 + rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size)))
+        i -> words.mkString(" ")
+      }.toDF("doc_id", "text")
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val full = pairs(DedupClusters.jaccardPairs(docs, t))
+      val prefix = pairs(DedupClusters.jaccardPairsPrefix(docs, t))
+      assert(prefix === full, s"trial $trial t=$t")
+    }
+  }
+
   test("q55 shape: every doc labeled, exactly one representative per cluster") {
     val dir = java.nio.file.Files.createTempDirectory("graft-clusters").toString
     val docs = Seq(
