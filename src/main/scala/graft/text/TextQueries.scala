@@ -165,42 +165,49 @@ object TextQueries {
   // q57 — sequence-packing plan: pretraining batches concatenate documents
   // into fixed token budgets; the PLAN (which docs land in which pack) is
   // a running token sum in deterministic doc order — a doc belongs to the
-  // pack where its first token lands in the concatenated stream. Pure
-  // window arithmetic, one partition-free cumulative sum expressed as a
-  // global ordered window — at 100 TB the order key becomes
-  // (shard, doc_id) so each shard packs independently (the window then
-  // partitions by shard); here the corpus is one logical shard.
+  // pack where its first token lands in its shard's concatenated stream.
+  // The corpus is packed SHARD-LOCALLY: the cumulative sum partitions by
+  // shard = doc_id div PackShardDocs, so every shard packs independently
+  // and in parallel — a single global ordered window would funnel the
+  // whole corpus through one task at 100 TB (it was this plan's one
+  // bench WARN before sharding). A pack never spans shards (each shard's
+  // last pack may run short — the same boundary waste any sharded packer
+  // accepts), and (shard, pack_id) identifies a pack globally.
   val PackBudget = 512
+  val PackShardDocs = 128
   val q57SequencePacking: Q = (s, d) => {
-    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     Tables.documents(s, d)
-      .select(col("doc_id"), size(toks).as("n_tokens"))
+      .select(col("doc_id"), expr(s"doc_id div $PackShardDocs").as("shard"),
+        size(toks).as("n_tokens"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
-      // start offset = cum - n_tokens; integer division picks the pack
-      .withColumn("pack_id", ((col("cum") - col("n_tokens")) / PackBudget)
-        .cast("bigint"))
-      .groupBy("pack_id")
+      // start offset within the shard = cum - n_tokens; integer division
+      // picks the shard-local pack
+      .withColumn("pack_id", expr(s"(cum - n_tokens) div $PackBudget"))
+      .groupBy("shard", "pack_id")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("pack_tokens"),
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
-      .orderBy("pack_id")
+      .orderBy("shard", "pack_id")
   }
   val q57Sql: String =
     s"""WITH t AS (
-       |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+       |  SELECT doc_id, doc_id // $PackShardDocs AS shard,
+       |    len(string_split(text, ' ')) AS n_tokens
        |  FROM documents),
        |c AS (
-       |  SELECT doc_id, n_tokens,
-       |    sum(n_tokens) OVER (ORDER BY doc_id
+       |  SELECT doc_id, shard, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
        |  FROM t)
-       |SELECT CAST((cum - n_tokens) // $PackBudget AS BIGINT) AS pack_id,
+       |SELECT shard, CAST((cum - n_tokens) // $PackBudget AS BIGINT) AS pack_id,
        |  count(*) AS n_docs,
        |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-       |FROM c GROUP BY 1 ORDER BY pack_id""".stripMargin
+       |FROM c GROUP BY 1, 2 ORDER BY shard, pack_id""".stripMargin
 
   // ---------------------------------------------------------------------------
   // q58 — train/eval decontamination: split the corpus with the

@@ -92,6 +92,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Join"), "expected a hash join on the exploded postings")
   }
 
+  test("q57: packing window partitions by shard — no single-partition funnel") {
+    val p = plan("q57_sequence_packing")
+    assert(p.contains("windowspecdefinition(shard"),
+      s"cumulative token sum must partition by shard:\n${p.take(1500)}")
+    assert(!p.contains("SinglePartition"),
+      "packing must never move the corpus to a single partition:\n" + p.take(1500))
+  }
+
   test("q53: rug argmax is a partial-aggregated groupBy feeding a broadcast join") {
     val p = plan("q53_sidebet_labels")
     assert(p.contains("partial_max_by") || p.contains("partial_"),

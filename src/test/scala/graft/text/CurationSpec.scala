@@ -27,8 +27,17 @@ class CurationSpec extends SparkSpec {
     // every token lands in exactly one pack
     assert(packs.map(_.getAs[Long]("pack_tokens")).sum === totalTokens)
     assert(packs.map(_.getAs[Long]("n_docs")).sum === 200L)
-    // packs partition the doc-id line into contiguous, ordered ranges
-    val ranges = packs.sortBy(_.getAs[Long]("pack_id"))
+    // a pack never spans shards
+    assert(packs.forall { r =>
+      val sh = r.getAs[Long]("shard")
+      r.getAs[Long]("first_doc") / TextQueries.PackShardDocs == sh &&
+        r.getAs[Long]("last_doc") / TextQueries.PackShardDocs == sh
+    })
+    // packs partition the doc-id line into contiguous, ordered ranges:
+    // shard = doc_id div K is monotone in doc_id, so (shard, pack_id)
+    // order IS global doc order, and a pack never spans shards
+    val ranges = packs
+      .sortBy(r => (r.getAs[Long]("shard"), r.getAs[Long]("pack_id")))
       .map(r => (r.getAs[Long]("first_doc"), r.getAs[Long]("last_doc")))
     assert(ranges.forall { case (a, b) => a <= b })
     ranges.sliding(2).foreach {
