@@ -8,13 +8,12 @@ import org.apache.spark.sql.types._
   * video as opaque `binary` columns with typed metadata, plus the decode /
   * feature-extract / resize / frame-sample operators over them.
   *
-  * The Spark-side plumbing — schema, partitioning, per-partition batch
-  * iteration, operator signatures — is real and tested. The codec step
-  * itself is STUBBED behind `StubCodec` (this environment has no image/audio
-  * libraries): it produces deterministic bytes/features derived from the
-  * input, so tests are exact and the stub swaps for a real codec (JNI/
-  * javacpp-ffmpeg or a Python mapInPandas stage) without touching any
-  * operator shape.
+  * Decode is REAL for every format the JDK ships a codec for — PNG/JPEG/
+  * BMP/GIF via `javax.imageio`, WAV/AU/AIFF via `javax.sound.sampled` —
+  * see `JdkCodec`. Formats the JDK cannot decode (video, and synthetic
+  * fixtures) fall back to `StubCodec`, a deterministic pure function of the
+  * bytes, so the operator plumbing stays testable where a real codec would
+  * need ffmpeg (the one remaining environment seam).
   *
   * Scale design:
   *   - media bytes NEVER go through a shuffle in these operators: decode and
@@ -60,10 +59,133 @@ object Multimodal {
       media_id: Long, frame_idx: Int, width: Int, height: Int,
       frame_bytes: Array[Byte])
 
-  /** Deterministic stand-in for the real codecs. Everything it returns is a
-    * pure function of (bytes, params) via a rolling 64-bit hash, so operator
-    * tests are exact. Swap this object for a real decoder implementation;
-    * nothing else changes.
+  /** Real JDK-native decode — no dependencies beyond the JDK itself.
+    *
+    * Images (`javax.imageio`: PNG/JPEG/BMP/GIF): statistics over the
+    * Rec.601 luma plane — mean intensity, intensity stddev (population),
+    * and an edge score = mean absolute horizontal+vertical neighbor
+    * gradient normalized to [0,1].
+    *
+    * Audio (`javax.sound.sampled`: WAV/AU/AIFF): the stream is converted
+    * to signed 16-bit PCM, channel 0 is normalized to [-1,1), and the
+    * features are RMS amplitude and zero-crossing rate (sign flips per
+    * sample step).
+    */
+  object JdkCodec {
+    val imageFormats: Set[String] = Set("png", "jpg", "jpeg", "bmp", "gif")
+    val audioFormats: Set[String] = Set("wav", "au", "aiff")
+
+    private def decode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "undecodable image bytes")
+      img
+    }
+
+    /** (mean intensity 0-255, intensity stddev, edge score 0-1). */
+    def imageStats(bytes: Array[Byte]): (Double, Double, Double) = {
+      val img = decode(bytes)
+      val w = img.getWidth
+      val h = img.getHeight
+      val luma = new Array[Double](w * h)
+      var sum = 0.0
+      var sumSq = 0.0
+      var y = 0
+      while (y < h) {
+        val row = img.getRGB(0, y, w, 1, null, 0, w)
+        var x = 0
+        while (x < w) {
+          val p = row(x)
+          val l = 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
+            0.114 * (p & 0xff)
+          luma(y * w + x) = l
+          sum += l
+          sumSq += l * l
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w * h).toDouble
+      val mean = sum / n
+      val variance = math.max(0.0, sumSq / n - mean * mean)
+      var grad = 0.0
+      var pairs = 0L
+      y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = luma(y * w + x)
+          if (x + 1 < w) { grad += math.abs(luma(y * w + x + 1) - v); pairs += 1 }
+          if (y + 1 < h) { grad += math.abs(luma((y + 1) * w + x) - v); pairs += 1 }
+          x += 1
+        }
+        y += 1
+      }
+      val edge = if (pairs == 0) 0.0 else grad / pairs / 255.0
+      (mean, math.sqrt(variance), edge)
+    }
+
+    /** Decoded (width, height) — the pixel truth, vs the metadata claim. */
+    def imageSize(bytes: Array[Byte]): (Int, Int) = {
+      val img = decode(bytes)
+      (img.getWidth, img.getHeight)
+    }
+
+    /** Bilinear resize, re-encoded as PNG. */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val src = decode(bytes)
+      val dst = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(src, 0, 0, w, h, null)
+      } finally g.dispose()
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(dst, "png", out)
+      out.toByteArray
+    }
+
+    /** (RMS of channel 0 in [-1,1) units, zero-crossing rate in [0,1]). */
+    def audioStats(bytes: Array[Byte]): (Double, Double) = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val base = in.getFormat
+        val fmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          base.getSampleRate, 16, base.getChannels,
+          base.getChannels * 2, base.getSampleRate, false)
+        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(fmt, in)
+        val data = pcm.readAllBytes()
+        val stride = 2 * fmt.getChannels
+        val n = data.length / stride
+        require(n > 0, "empty audio stream")
+        var sumSq = 0.0
+        var crossings = 0L
+        var prevNeg = false
+        var i = 0
+        while (i < n) {
+          val off = i * stride // channel 0 of an interleaved frame
+          val s = (((data(off + 1) & 0xff) << 8) | (data(off) & 0xff)).toShort
+            .toDouble / 32768.0
+          sumSq += s * s
+          val neg = s < 0
+          if (i > 0 && neg != prevNeg) crossings += 1
+          prevNeg = neg
+          i += 1
+        }
+        (math.sqrt(sumSq / n),
+          if (n > 1) crossings.toDouble / (n - 1) else 0.0)
+      } finally in.close()
+    }
+  }
+
+  /** Deterministic stand-in for formats the JDK has no codec for (video;
+    * synthetic fixtures). Everything it returns is a pure function of
+    * (bytes, params) via a rolling 64-bit hash, so operator tests are
+    * exact. A real video path (ffmpeg via JNI or a Python mapInPandas
+    * stage) swaps in here; nothing else changes.
     */
   object StubCodec {
     private def h64(bytes: Array[Byte], seed: Long): Long = {
@@ -105,28 +227,40 @@ object Multimodal {
 
   /** Image decode + feature extraction: one codec "session" per partition,
     * rows streamed through it (the mapInPandas batch shape, in Scala).
+    * JDK-decodable formats report the DECODED dimensions (pixel truth);
+    * stub formats echo the metadata claim.
     */
   def imageFeatures(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.filter(_.kind == "image").mapPartitions { rows =>
-      // real impl: init decoder once per partition here
+      // ImageIO plugin discovery happens once per JVM; per-partition the
+      // codec is stateless — rows stream straight through it
       rows.map { m =>
-        val (mean, std, edge) = StubCodec.imageStats(m.bytes)
-        ImageFeatures(m.media_id, m.width, m.height, mean, std, edge)
+        if (JdkCodec.imageFormats(m.format)) {
+          val (mean, std, edge) = JdkCodec.imageStats(m.bytes)
+          val (w, h) = JdkCodec.imageSize(m.bytes)
+          ImageFeatures(m.media_id, w, h, mean, std, edge)
+        } else {
+          val (mean, std, edge) = StubCodec.imageStats(m.bytes)
+          ImageFeatures(m.media_id, m.width, m.height, mean, std, edge)
+        }
       }
     }
   }
 
-  /** Audio decode + features; duration derives from typed metadata, not the
-    * stub — metadata math is real.
+  /** Audio decode + features; duration derives from typed metadata (the
+    * byte payload may be truncated or resampled — metadata is the claim
+    * the pipeline tracks).
     */
   def audioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.filter(_.kind == "audio").mapPartitions { rows =>
       rows.map { m =>
-        val (rms, zcr) = StubCodec.audioStats(m.bytes)
+        val (rms, zcr) =
+          if (JdkCodec.audioFormats(m.format)) JdkCodec.audioStats(m.bytes)
+          else StubCodec.audioStats(m.bytes)
         val dur = if (m.sample_rate > 0) m.n_samples.toDouble / m.sample_rate else 0.0
         AudioFeatures(m.media_id, m.sample_rate, dur, rms, zcr)
       }
@@ -134,14 +268,20 @@ object Multimodal {
   }
 
   /** Resize plumbing: bytes and metadata move together; output metadata is
-    * the target size.
+    * the target size. JDK formats re-encode as PNG (bilinear).
     */
   def resizeImages(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.filter(_.kind == "image").mapPartitions { rows =>
-      rows.map(m => m.copy(bytes = StubCodec.resize(m.bytes, w, h),
-        width = w, height = h))
+      rows.map { m =>
+        if (JdkCodec.imageFormats(m.format))
+          m.copy(bytes = JdkCodec.resize(m.bytes, w, h),
+            width = w, height = h, format = "png")
+        else
+          m.copy(bytes = StubCodec.resize(m.bytes, w, h),
+            width = w, height = h)
+      }
     }
   }
 

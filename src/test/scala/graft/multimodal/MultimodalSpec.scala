@@ -7,10 +7,13 @@ class MultimodalSpec extends SparkSpec {
 
   import spark.implicits._
 
+  // format "raw" routes to StubCodec — these fixtures exercise the operator
+  // plumbing (determinism, schema, filtering); real-decode tests below use
+  // genuine PNG/WAV bytes and the JDK codec path
   private def img(id: Long, payload: String, w: Int = 64, h: Int = 48) =
-    MediaRow(id, "image", payload.getBytes("UTF-8"), w, h, 0, 0, 0, "png")
+    MediaRow(id, "image", payload.getBytes("UTF-8"), w, h, 0, 0, 0, "raw")
   private def aud(id: Long, payload: String, sr: Int, n: Int) =
-    MediaRow(id, "audio", payload.getBytes("UTF-8"), 0, 0, sr, n, 0, "wav")
+    MediaRow(id, "audio", payload.getBytes("UTF-8"), 0, 0, sr, n, 0, "raw")
   private def vid(id: Long, payload: String, frames: Int) =
     MediaRow(id, "video", payload.getBytes("UTF-8"), 320, 240, 0, 0, frames, "mp4")
 
@@ -55,6 +58,91 @@ class MultimodalSpec extends SparkSpec {
     val stats = imageCorpusStats(imageFeatures(media)).head()
     assert(stats.getAs[Long]("n_images") === 2L)
     assert(stats.getAs[Int]("max_width") === 64)
+  }
+
+  // --- real JDK-codec decode -------------------------------------------------
+
+  private def pngBytes(w: Int, h: Int)(pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixel(x, y))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private def wavBytes(samples: Array[Short], sr: Float): Array[Byte] = {
+    val data = new Array[Byte](samples.length * 2) // 16-bit little-endian mono
+    samples.zipWithIndex.foreach { case (s, i) =>
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sr, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("real PNG decode: uniform gray image has exact mean, zero std/edge") {
+    val bytes = pngBytes(8, 8)((_, _) => 0x787878) // RGB(120,120,120)
+    val rows = Seq(MediaRow(10L, "image", bytes, 8, 8, 0, 0, 0, "png")).toDS()
+    val f = imageFeatures(rows).head()
+    assert(math.abs(f.mean_intensity - 120.0) < 1e-6)
+    assert(math.abs(f.intensity_std) < 1e-6)
+    assert(math.abs(f.edge_score) < 1e-9)
+  }
+
+  test("real PNG decode: half-black/half-white image — known mean, std, edge") {
+    // left 4 columns black, right 4 white: mean 127.5, std 127.5; the only
+    // nonzero gradients are the 8 horizontal boundary pairs out of
+    // 8*7 + 7*8 = 112 neighbor pairs, each |255| => edge = 8/112
+    val bytes = pngBytes(8, 8)((x, _) => if (x < 4) 0x000000 else 0xffffff)
+    val rows = Seq(MediaRow(11L, "image", bytes, 8, 8, 0, 0, 0, "png")).toDS()
+    val f = imageFeatures(rows).head()
+    assert(math.abs(f.mean_intensity - 127.5) < 1e-6)
+    assert(math.abs(f.intensity_std - 127.5) < 1e-6)
+    assert(math.abs(f.edge_score - 8.0 / 112.0) < 1e-9)
+  }
+
+  test("real PNG decode: reported dimensions are the decoded pixel truth") {
+    val bytes = pngBytes(8, 6)((_, _) => 0x406080)
+    // metadata CLAIMS 64x48; the decoder reports what the pixels say
+    val rows = Seq(MediaRow(12L, "image", bytes, 64, 48, 0, 0, 0, "png")).toDS()
+    val f = imageFeatures(rows).head()
+    assert(f.width === 8 && f.height === 6)
+  }
+
+  test("real PNG resize: output decodes to the target dimensions") {
+    val bytes = pngBytes(8, 8)((x, y) => (x * 32) << 16 | (y * 32) << 8)
+    val rows = Seq(MediaRow(13L, "image", bytes, 8, 8, 0, 0, 0, "png")).toDS()
+    val r = resizeImages(rows, 4, 4).head()
+    assert(r.width === 4 && r.height === 4 && r.format === "png")
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.bytes))
+    assert(back.getWidth === 4 && back.getHeight === 4)
+  }
+
+  test("real WAV decode: square wave has RMS 0.5 and zero-crossing rate 1") {
+    val sq = Array.tabulate[Short](8000)(i =>
+      if (i % 2 == 0) 16384.toShort else (-16384).toShort)
+    val rows = Seq(MediaRow(14L, "audio", wavBytes(sq, 16000f),
+      0, 0, 16000, 8000, 0, "wav")).toDS()
+    val f = audioFeatures(rows).head()
+    assert(math.abs(f.rms - 0.5) < 1e-12) // 16384/32768 exactly
+    assert(f.zero_crossing_rate === 1.0) // every step flips sign
+    assert(f.duration_s === 0.5) // metadata: 8000 samples / 16000 Hz
+  }
+
+  test("real WAV decode: DC signal has known RMS and zero crossings") {
+    val dc = Array.fill[Short](1000)(1024)
+    val rows = Seq(MediaRow(15L, "audio", wavBytes(dc, 8000f),
+      0, 0, 8000, 1000, 0, "wav")).toDS()
+    val f = audioFeatures(rows).head()
+    assert(math.abs(f.rms - 1024.0 / 32768.0) < 1e-12)
+    assert(f.zero_crossing_rate === 0.0)
   }
 
   test("media round-trips through parquet with binary column intact") {
