@@ -36,14 +36,7 @@ case class RandomHyperplaneSignature(child: Expression, numPlanes: Int)
           s"rh_signature expects array<float|double>, got ${other.sql}")
     }
 
-  /** splitmix64 of (plane, dim) → sign bit; stateless + deterministic. */
-  private def rademacher(plane: Int, dim: Int): Double = {
-    var z = plane.toLong * 0x9e3779b97f4a7c15L + dim.toLong * 0xbf58476d1ce4e5b9L + 0x94d049bb133111ebL
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z = z ^ (z >>> 31)
-    if ((z & 1L) == 1L) 1.0 else -1.0
-  }
+  import RandomHyperplaneSignature.rademacher
 
   // lazy: child.dataType is unresolvable at construction time (programmatic
   // use with an unresolved child would throw UnresolvedException from an
@@ -92,6 +85,19 @@ case class RandomHyperplaneSignature(child: Expression, numPlanes: Int)
 }
 
 object RandomHyperplaneSignature {
+
+  /** splitmix64 of (plane, dim) → sign bit; stateless + deterministic.
+    * Public so the generated oracle SQL (SimilarityQueries.q51Sql) derives
+    * its coefficient table from the SAME values — no copied constants.
+    */
+  def rademacher(plane: Int, dim: Int): Double = {
+    var z = plane.toLong * 0x9e3779b97f4a7c15L + dim.toLong * 0xbf58476d1ce4e5b9L + 0x94d049bb133111ebL
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    if ((z & 1L) == 1L) 1.0 else -1.0
+  }
+
   /** Idempotent (see MinHashSignature.register). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     if (!spark.sessionState.functionRegistry

@@ -108,9 +108,8 @@ object SimilarityQueries {
   // q42 — MinHash signatures (the scale path for Jaccard near-dup): 3-token
   // shingles → 16 independent hash slots via xxhash64(shingle, seed) → min
   // per slot. Pure expressions, deterministic; LSH banding joins on
-  // band-hash so only bucket collisions are compared. Not SQL-expressible in
-  // the oracle (no xxhash64) — rows-only check; semantics covered by
-  // MinHashSpec + q43's verified pairs.
+  // band-hash so only bucket collisions are compared. Oracle: generated SQL
+  // over the harness's Spark-compatible xxh64 UDF (see q42Sql below).
   private val NumHashes = 16
   private val BandSize = 4
 
@@ -301,8 +300,8 @@ object SimilarityQueries {
   // rolling-hash fingerprinting every plagiarism/near-dup pipeline uses):
   // hash ORDERED 3-token shingles, slide a w=4 window, keep each window's
   // min hash, dedup. Pure higher-order expressions over bound columns.
-  // xxhash64 has no DuckDB equivalent — rows-only oracle; exactness is
-  // covered by SimilaritySpec.
+  // Oracle: generated SQL over the harness xxh64 UDF (q48Sql below);
+  // exactness also covered by SimilaritySpec.
   private val WinnowWindow = 4
 
   val q48Winnowing: Q = (s, d) => {
@@ -431,6 +430,207 @@ object SimilarityQueries {
       .orderBy("id_a", "id_b")
   }
 
+  // ---------------------------------------------------------------------------
+  // Generated oracle SQL for the xxhash64 family (q42/q43/q44/q48/q51).
+  //
+  // The harness registers ONE primitive on the DuckDB oracle connection —
+  // `xxh64(VARCHAR) -> BIGINT`, Spark-compatible xxhash64 of the UTF-8
+  // bytes with seed 42 (tools/check.py, validated byte-for-byte against
+  // Spark's XxHash64Function) — and everything else is plain SQL GENERATED
+  // from the same Scala constants the native expressions use (multiply-
+  // shift slot family, SimHash bit weights, Rademacher plane coefficients),
+  // so the two sides cannot drift. Wrapping mod-2^64 arithmetic is done in
+  // HUGEINT with the operands split into 32-bit halves (DuckDB integer ops
+  // error on overflow instead of wrapping).
+
+  private val U64 = "18446744073709551616" // 2^64, HUGEINT literal
+  private val I64Min = "9223372036854775808" // 2^63
+
+  /** Unsigned x as HUGEINT from a signed BIGINT expression. */
+  private def toU64(e: String): String =
+    s"(CASE WHEN $e < 0 THEN $e::HUGEINT + $U64 ELSE $e::HUGEINT END)"
+
+  /** Signed BIGINT from a HUGEINT value in [0, 2^64). */
+  private def toI64(e: String): String =
+    s"CAST(CASE WHEN $e >= $I64Min THEN $e - $U64 ELSE $e END AS BIGINT)"
+
+  /** (slot, ah, al, ub): per-slot multiply-shift constants, the multiplier
+    * split into unsigned 32-bit halves for overflow-free mod-2^64 products.
+    */
+  private def slotValuesSql: String =
+    (0 until NumHashes).map { h =>
+      val a = graft.functions.MinHashSignature.splitmix64(2L * h) | 1L
+      val b = graft.functions.MinHashSignature.splitmix64(2L * h + 1L)
+      s"($h, ${a >>> 32}::HUGEINT, ${a & 0xffffffffL}::HUGEINT, " +
+        s"${java.lang.Long.toUnsignedString(b)}::HUGEINT)"
+    }.mkString(",\n    ")
+
+  /** Shared CTE chain ending in `mins(doc_id, slot, min_hash)` — the
+    * MinHash signature slots, signed like the Scala Long compare.
+    * (a*x+b) mod 2^64 with a = ah*2^32 + al: al*xl stays < 2^64 and the
+    * cross terms are folded mod 2^32 before re-scaling, so every
+    * intermediate fits HUGEINT.
+    */
+  private def minhashMinsCte: String =
+    s"""toked AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |shingle AS (
+       |  SELECT doc_id, unnest(list_transform(range(len(t) - 2),
+       |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
+       |  FROM toked),
+       |hsplit AS (
+       |  SELECT doc_id, u // 4294967296 AS xh, u % 4294967296 AS xl
+       |  FROM (SELECT doc_id, ${toU64("xxh64(sh)")} AS u FROM shingle)),
+       |slots(slot, ah, al, ub) AS (VALUES
+       |    $slotValuesSql),
+       |vals AS (
+       |  SELECT doc_id, slot,
+       |    ((al*xl + ((al*xh + ah*xl) % 4294967296) * 4294967296) % $U64
+       |      + ub) % $U64 AS v
+       |  FROM hsplit CROSS JOIN slots),
+       |mins AS (
+       |  SELECT doc_id, slot, min(${toI64("v")}) AS min_hash
+       |  FROM vals GROUP BY doc_id, slot)""".stripMargin
+
+  val q42Sql: String =
+    s"""WITH $minhashMinsCte
+       |SELECT doc_id, slot, min_hash FROM mins ORDER BY doc_id, slot""".stripMargin
+
+  // q43: buckets on the band VALUES where Spark buckets on murmur3 of the
+  // band slice — same-slice pairs always collide on both sides; a cross-
+  // slice murmur3 collision could only ADD a Spark candidate, which the
+  // exact-jaccard filter then has to pass anyway. The oracle also omits
+  // bucketPairs' degenerate-bucket cap (no test bucket is within orders of
+  // magnitude of 10k members).
+  val q43Sql: String =
+    s"""WITH $minhashMinsCte,
+       |sig AS (
+       |  SELECT doc_id, list(min_hash ORDER BY slot) AS sig
+       |  FROM mins GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, b, sig[b*$BandSize+1 : b*$BandSize+$BandSize] AS bandsig
+       |  FROM sig CROSS JOIN (SELECT unnest(range(${NumHashes / BandSize})) AS b)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bands x JOIN bands y
+       |    ON x.b = y.b AND x.bandsig = y.bandsig AND x.doc_id < y.doc_id),
+       |dsh AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+       |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
+       |  FROM toked),
+       |ver AS (
+       |  SELECT c.id_a, c.id_b,
+       |    len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
+       |    len(a.sh) AS la, len(b.sh) AS lb
+       |  FROM cand c
+       |  JOIN dsh a ON a.doc_id = c.id_a
+       |  JOIN dsh b ON b.doc_id = c.id_b)
+       |SELECT id_a, id_b,
+       |  round(CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE), 6) AS jaccard
+       |FROM ver
+       |WHERE round(CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE), 6) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** (bit, 2^bit) for the SimHash vote/reassembly — 2^63 only fits HUGEINT. */
+  private def bitValuesSql: String =
+    (0 until 64).map { b =>
+      s"($b, ${java.lang.Long.toUnsignedString(1L << b)}::HUGEINT)"
+    }.mkString(",\n    ")
+
+  val q44Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |hu AS (
+       |  SELECT doc_id, ${toU64("xxh64(tok)")} AS u FROM toks),
+       |bits(bit, p2) AS (VALUES
+       |    $bitValuesSql),
+       |votes AS (
+       |  SELECT doc_id, bit, any_value(p2) AS p2,
+       |    sum(CASE WHEN (u // p2) % 2 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM hu CROSS JOIN bits GROUP BY doc_id, bit),
+       |sig AS (
+       |  SELECT doc_id, sum(CASE WHEN v > 0 THEN p2 ELSE 0::HUGEINT END) AS s
+       |  FROM votes GROUP BY doc_id)
+       |SELECT doc_id, ${toI64("s")} AS simhash FROM sig ORDER BY doc_id""".stripMargin
+
+  val q48Sql: String =
+    s"""WITH toked AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= ${2 + WinnowWindow}),
+       |idx AS (
+       |  SELECT doc_id, t, unnest(range(len(t) - 2)) AS i FROM toked),
+       |hrow AS (
+       |  SELECT doc_id, i, xxh64(t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) AS h
+       |  FROM idx),
+       |hs AS (
+       |  SELECT doc_id, list(h ORDER BY i) AS hs FROM hrow GROUP BY doc_id),
+       |win AS (
+       |  SELECT doc_id, len(hs) AS n_shingles,
+       |    list_distinct(list_transform(range(len(hs) - ${WinnowWindow - 1}),
+       |      i -> list_min(hs[i+1 : i+$WinnowWindow]))) AS fps
+       |  FROM hs)
+       |SELECT doc_id, n_shingles, len(fps) AS n_fingerprints,
+       |  list_min(fps) AS min_fingerprint
+       |FROM win ORDER BY doc_id""".stripMargin
+
+  /** (plane, dim, ±1): Rademacher coefficients from the SAME splitmix the
+    * native expression uses, for every plane the adaptive band width can
+    * reach (4 bands × 15 bits = 60 planes) over the 64-dim embeddings.
+    */
+  private def coefValuesSql: String =
+    (0 until 60).flatMap { p =>
+      (0 until 64).map { dim =>
+        s"($p,$dim,${graft.functions.RandomHyperplaneSignature.rademacher(p, dim).toInt})"
+      }
+    }.mkString(",")
+
+  // q51: the oracle recomputes the adaptive band width from count(*) — the
+  // parquet footer rowCount the Spark side reads IS the exact row count.
+  // Dot-product accumulation order differs between engines (Scala sums
+  // dims in order; DuckDB's sum is unordered), so a plane sum within ~1e-13
+  // of zero could in principle flip a signature bit — across the test
+  // corpus no plane sum is near that boundary, and the exact-cosine
+  // verification bounds the blast radius to candidate membership.
+  val q51Sql: String =
+    s"""WITH params AS (
+       |  SELECT CAST(least(15, greatest(8,
+       |    CAST(ceil(log2(greatest(count(*) / 8.0, 2.0))) AS INTEGER)))
+       |    AS INTEGER) AS bandbits
+       |  FROM embeddings),
+       |coef(p, d, c) AS (VALUES $coefValuesSql),
+       |dims AS (
+       |  SELECT vec_id, embedding, unnest(range(len(embedding))) AS d
+       |  FROM embeddings),
+       |comp AS (
+       |  SELECT vec_id, coef.p, CAST(embedding[dims.d+1] AS DOUBLE) * coef.c AS term
+       |  FROM dims JOIN coef ON coef.d = dims.d
+       |  WHERE coef.p < 4 * (SELECT bandbits FROM params)),
+       |acc AS (
+       |  SELECT vec_id, p, sum(term) AS dot FROM comp GROUP BY vec_id, p),
+       |sig AS (
+       |  SELECT vec_id,
+       |    sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS sig
+       |  FROM acc GROUP BY vec_id),
+       |bands AS (
+       |  SELECT vec_id, b,
+       |    (sig >> (b * (SELECT bandbits FROM params)))
+       |      & ((1::BIGINT << (SELECT bandbits FROM params)) - 1) AS band_bits
+       |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM bands x JOIN bands y
+       |    ON x.b = y.b AND x.band_bits = y.band_bits AND x.vec_id < y.vec_id),
+       |ver AS (
+       |  SELECT c.id_a, c.id_b,
+       |    round(${dotSql("a.embedding", "b.embedding")}
+       |      / (${normSql("a.embedding")} * ${normSql("b.embedding")}), 6) AS cosine
+       |  FROM cand c
+       |  JOIN embeddings a ON a.vec_id = c.id_a
+       |  JOIN embeddings b ON b.vec_id = c.id_b)
+       |SELECT id_a, id_b, cosine FROM ver WHERE cosine >= 0.35
+       |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q40_cosine_topk" -> q40CosineTopK,
     "q41_cosine_pairs" -> q41CosinePairs,
@@ -442,10 +642,14 @@ object SimilarityQueries {
     "q49_ivf_ann" -> q49IvfAnn,
     "q51_rh_lsh_pairs" -> q51RhLshPairs)
 
-  /** q42/q43/q44/q48/q51 hash natively (no DuckDB equivalent) — rows-only. */
   val oracles: Map[String, String] = Map(
     "q40_cosine_topk" -> q40Sql,
     "q41_cosine_pairs" -> q41Sql,
+    "q42_minhash_signatures" -> q42Sql,
+    "q43_minhash_lsh_pairs" -> q43Sql,
+    "q44_simhash" -> q44Sql,
     "q47_ngram_jaccard_topk" -> q47Sql,
-    "q49_ivf_ann" -> q49Sql)
+    "q48_winnowing_fingerprints" -> q48Sql,
+    "q49_ivf_ann" -> q49Sql,
+    "q51_rh_lsh_pairs" -> q51Sql)
 }
