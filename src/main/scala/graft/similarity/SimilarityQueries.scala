@@ -329,25 +329,40 @@ object SimilarityQueries {
   // q49 — IVF-bucketed ANN (the scale path for q40's brute force): codebook =
   // the first 8 vectors (deterministic "training"); every vector is assigned
   // to its nearest centroid (one broadcast of 8 rows — no shuffle of the
-  // candidate side); queries then search ONLY their own cell. At 100 TB this
-  // is the inverted-file layout: per-cell partitions, query fan-out to one
-  // cell instead of the whole corpus.
-  val q49IvfAnn: Q = (s, d) => {
+  // candidate side); queries then search their IvfNProbe nearest cells —
+  // multi-probe, like VectorIndex.search's Hamming-1 cell expansion.
+  // nprobe=1 is the recall cliff of IVF (a neighbor just across the cell
+  // boundary is invisible); probing the top-3 cells recovers boundary
+  // neighbors while still touching 3/8ths of the corpus instead of all of
+  // it. At 100 TB this is the inverted-file layout: per-cell partitions,
+  // query fan-out to nprobe cells instead of the whole corpus.
+  val IvfNProbe = 3
+
+  /** Parameterized IVF search: nprobe = how many nearest cells each query
+    * scans. nprobe = #cells degenerates to exact brute force — the recall
+    * spec uses that as its ground truth.
+    */
+  def ivfAnn(s: org.apache.spark.sql.SparkSession, d: String,
+      nprobe: Int): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val cents = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
     val wAssign = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cid"))
-    val assigned = emb.join(broadcast(cents))
+    val scored = emb.join(broadcast(cents))
       .withColumn("ccos",
         cos6(s, "embedding", "cvec"))
       .withColumn("rk", row_number().over(wAssign))
-      .filter(col("rk") === 1)
+    // database side: every vector lives in exactly ONE cell (rk = 1), so a
+    // candidate meets a query through at most one probe — no dedup needed
+    val assigned = scored.filter(col("rk") === 1)
       .select(col("vec_id"), col("embedding"), col("cid"))
-    val queriesDf = assigned.filter(col("vec_id") >= 8 && col("vec_id") < 13)
+    // query side: the nprobe nearest cells per query
+    val probes = scored
+      .filter(col("vec_id") >= 8 && col("vec_id") < 13 && col("rk") <= nprobe)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
         col("cid").as("qcid"))
     val wRank = Window.partitionBy("qid").orderBy(desc("cosine"), asc("vec_id"))
-    assigned.join(broadcast(queriesDf),
+    assigned.join(broadcast(probes),
         col("cid") === col("qcid") && col("vec_id") =!= col("qid"))
       .withColumn("cosine",
         cos6(s, "qvec", "embedding"))
@@ -356,6 +371,8 @@ object SimilarityQueries {
       .select(col("qid"), col("rank"), col("vec_id").as("nid"), col("cosine"))
       .orderBy("qid", "rank")
   }
+
+  val q49IvfAnn: Q = (s, d) => ivfAnn(s, d, IvfNProbe)
   private def dotSql(a: String, b: String): String =
     s"""(SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
        | FROM (SELECT unnest($a) AS x, unnest($b) AS y))""".stripMargin
@@ -369,14 +386,16 @@ object SimilarityQueries {
        |    round(${dotSql("e.embedding", "c.cvec")}
        |      / (${normSql("e.embedding")} * ${normSql("c.cvec")}), 6) AS ccos
        |  FROM embeddings e CROSS JOIN cents c),
+       |cellranked AS (
+       |  SELECT vec_id, embedding, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rk
+       |  FROM scored),
        |assigned AS (
-       |  SELECT vec_id, embedding, cid FROM (
-       |    SELECT vec_id, embedding, cid,
-       |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rk
-       |    FROM scored) WHERE rk = 1),
+       |  SELECT vec_id, embedding, cid FROM cellranked WHERE rk = 1),
        |q AS (
        |  SELECT vec_id AS qid, embedding AS qvec, cid
-       |  FROM assigned WHERE vec_id >= 8 AND vec_id < 13),
+       |  FROM cellranked
+       |  WHERE rk <= $IvfNProbe AND vec_id >= 8 AND vec_id < 13),
        |cand AS (
        |  SELECT q.qid, a.vec_id AS nid,
        |    round(${dotSql("q.qvec", "a.embedding")}

@@ -111,6 +111,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivf multi-probe: recall vs exact top-k rises with nprobe") {
+    // 8 centroid directions around the unit circle; the query sits at 20°,
+    // between cell 0 (0°) and cell 1 (45°). Its true nearest neighbors
+    // straddle the boundary: 13 (18°, cell 0), 15 (24°, cell 1),
+    // 14 (28°, cell 1) — so nprobe=1 can only ever see one of the three.
+    def at(deg: Double) = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val vecs: Seq[(Long, Array[Float])] =
+      (0L to 7L).map(i => i -> at(i * 45.0)) ++ // centroids
+        Seq(8L -> at(20.0)) ++                  // boundary query
+        (9L to 12L).map(i => i -> at((i - 7) * 45.0 + 1.0)) ++ // other queries
+        Seq(13L -> at(18.0), 14L -> at(28.0), 15L -> at(24.0),
+          16L -> at(60.0), 17L -> at(200.0), 18L -> at(300.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-probe").toString
+    vecs.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // nprobe = #cells is exhaustive search — the exact ground truth
+    def top3(nprobe: Int): Set[Long] =
+      SimilarityQueries.ivfAnn(spark, dir, nprobe)
+        .filter($"qid" === 8L).collect().map(_.getAs[Long]("nid")).toSet
+    val exact = top3(8)
+    assert(exact === Set(13L, 15L, 14L)) // sanity: the boundary straddlers
+    val recall = Seq(1, 2, 3).map(p => p -> (top3(p) & exact).size / 3.0).toMap
+    assert(recall(1) < recall(2), s"recall must rise with nprobe: $recall")
+    assert(recall(2) <= recall(3) && recall(3) === 1.0, s"$recall")
+    // the registered q49 runs at IvfNProbe and must see all three
+    assert(top3(SimilarityQueries.IvfNProbe) === exact)
+  }
+
   test("rh-lsh pairs recover near-duplicate embeddings found by brute force") {
     // three exact-duplicate groups + noise directions
     def v(seed: Int): Array[Float] = {
