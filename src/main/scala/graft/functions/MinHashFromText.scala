@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -29,8 +29,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * slots (empty shingle set — callers filter on token count). Token
   * split is single-space, matching `split(text, ' ')` with Spark's -1
   * limit (trailing empty tokens kept). Hashing matches MinHashSignature:
-  * xxhash64(shingle bytes, seed 42) once, then the same SplitMix64-seeded
-  * multiply-shift family.
+  * hash64(shingle) once ([[Hash64]], the oracle-expressible base hash),
+  * then the same SplitMix64-seeded multiply-shift family.
   */
 case class MinHashFromText(child: Expression, numHashes: Int)
     extends UnaryExpression {
@@ -72,8 +72,7 @@ case class MinHashFromText(child: Expression, numHashes: Int)
       sb.setLength(0)
       sb.append(toks(i)).append(' ').append(toks(i + 1)).append(' ')
         .append(toks(i + 2))
-      val x = XxHash64Function.hash(
-        UTF8String.fromString(sb.toString), StringType, 42L)
+      val x = Hash64.hash(sb)
       var h = 0
       while (h < numHashes) {
         val hv = as(h) * x + bs(h)

@@ -2,14 +2,14 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Native MinHash signature: `minhash_signature(shingles, k)` returns the
-  * k-slot signature [min_h xxh64(s, seed=h) for h in 0..k-1] in ONE pass
-  * over the shingle array.
+  * k-slot signature [min over shingles of a_h·hash64(s)+b_h for h in
+  * 0..k-1] in ONE pass over the shingle array.
   *
   * Why a custom Expression (SURVEY §7.3 preference (b)): the composed
   * built-in form — k separate `array_min(transform(shingles, xxhash64(...)))`
@@ -26,7 +26,8 @@ import org.apache.spark.sql.types._
   * Semantics notes: null array → null; null/absent elements are skipped;
   * an empty array yields Long.MaxValue slots (no shingles = empty set —
   * callers filter size >= 1). Deterministic: each shingle's UTF-8 bytes
-  * are xxhash64'd ONCE, and the k family values derive from multiply-shift
+  * are hash64'd ONCE ([[Hash64]] — the oracle-expressible base hash of
+  * the dedup family), and the k family values derive from multiply-shift
   * universal hashing (odd a_i · x + b_i, SplitMix64-seeded constants) —
   * hashing the bytes k times with k seeds costs k passes over every
   * shingle and was the measured hot spot of the signature stage (~4× the
@@ -71,7 +72,7 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     val n = a.numElements()
     while (i < n) {
       if (!a.isNullAt(i)) {
-        val x = XxHash64Function.hash(a.getUTF8String(i), StringType, 42L)
+        val x = Hash64.hash(a.getUTF8String(i))
         var h = 0
         while (h < numHashes) {
           val hv = as(h) * x + bs(h)

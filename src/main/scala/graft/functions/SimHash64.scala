@@ -2,14 +2,15 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
-/** Native 64-bit SimHash: `simhash64(tokens)` — each token's xxhash64 votes
-  * +1/−1 on every bit; the signature's bit b is set iff the net vote is
-  * positive.
+/** Native 64-bit SimHash: `simhash64(tokens)` — each token's hash64
+  * ([[Hash64]], the oracle-expressible base hash of the dedup family)
+  * votes +1/−1 on every bit; the signature's bit b is set iff the net
+  * vote is positive.
   *
   * Why a custom Expression: the composed form explodes the corpus to one row
   * per token and runs 64 conditional-sum aggregates through a shuffle —
@@ -43,7 +44,7 @@ case class SimHash64(child: Expression)
     val n = a.numElements()
     while (i < n) {
       if (!a.isNullAt(i)) {
-        val h = XxHash64Function.hash(a.getUTF8String(i), StringType, 42L)
+        val h = Hash64.hash(a.getUTF8String(i))
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1

@@ -106,10 +106,11 @@ object SimilarityQueries {
 
   // ---------------------------------------------------------------------------
   // q42 — MinHash signatures (the scale path for Jaccard near-dup): 3-token
-  // shingles → 16 independent hash slots via xxhash64(shingle, seed) → min
+  // shingles → hash64 once per shingle → 16 multiply-shift slots → min
   // per slot. Pure expressions, deterministic; LSH banding joins on
-  // band-hash so only bucket collisions are compared. Oracle: generated SQL
-  // over the harness's Spark-compatible xxh64 UDF (see q42Sql below).
+  // band-hash so only bucket collisions are compared. Oracle: generated
+  // PURE DuckDB SQL — hashStages emits the identical hash64 from the same
+  // constants (see q42Sql below), no UDF registration required.
   private val NumHashes = 16
   private val BandSize = 4
 
@@ -240,7 +241,7 @@ object SimilarityQueries {
 
   // ---------------------------------------------------------------------------
   // q44 — SimHash (64-bit) near-dup signatures via the native `simhash64`
-  // expression (graft.functions.SimHash64): per-token xxhash64 votes +1/−1
+  // expression (graft.functions.SimHash64): per-token hash64 votes +1/−1
   // on each bit, signature bit = sign of the net vote. One pass inside the
   // scan — the composed form (explode + 64 conditional-sum aggregates)
   // shuffles the whole exploded corpus for a per-document-pure value.
@@ -300,11 +301,13 @@ object SimilarityQueries {
   // rolling-hash fingerprinting every plagiarism/near-dup pipeline uses):
   // hash ORDERED 3-token shingles, slide a w=4 window, keep each window's
   // min hash, dedup. Pure higher-order expressions over bound columns.
-  // Oracle: generated SQL over the harness xxh64 UDF (q48Sql below);
+  // Base hash is hash64 (graft.functions.Hash64) so the oracle is
+  // generated PURE DuckDB SQL (q48Sql below, via hashStages);
   // exactness also covered by SimilaritySpec.
   private val WinnowWindow = 4
 
   val q48Winnowing: Q = (s, d) => {
+    graft.functions.Hash64.register(s)
     val t = col("__toks")
     val n = size(t)
     val orderedShingles = transform(
@@ -314,7 +317,8 @@ object SimilarityQueries {
     Tables.documents(s, d)
       .withColumn("__toks", split(col("text"), " "))
       .filter(n >= 2 + WinnowWindow) // >= w shingles
-      .withColumn("hs", transform(orderedShingles, sh => xxhash64(sh)))
+      .withColumn("__osh", orderedShingles)
+      .withColumn("hs", expr("transform(__osh, x -> hash64(x))"))
       .withColumn("fps", array_distinct(transform(
         sequence(lit(1), size(col("hs")) - (WinnowWindow - 1)),
         start => array_min(slice(col("hs"), start, lit(WinnowWindow))))))
@@ -450,28 +454,73 @@ object SimilarityQueries {
   }
 
   // ---------------------------------------------------------------------------
-  // Generated oracle SQL for the xxhash64 family (q42/q43/q44/q48/q51).
+  // Generated oracle SQL for the hash-valued family (q42/q43/q44/q48/q51).
   //
-  // The harness registers ONE primitive on the DuckDB oracle connection —
-  // `xxh64(VARCHAR) -> BIGINT`, Spark-compatible xxhash64 of the UTF-8
-  // bytes with seed 42 (tools/check.py, validated byte-for-byte against
-  // Spark's XxHash64Function) — and everything else is plain SQL GENERATED
-  // from the same Scala constants the native expressions use (multiply-
-  // shift slot family, SimHash bit weights, Rademacher plane coefficients),
-  // so the two sides cannot drift. Wrapping mod-2^64 arithmetic is done in
-  // HUGEINT with the operands split into 32-bit halves (DuckDB integer ops
-  // error on overflow instead of wrapping).
+  // These queries' outputs ARE hash values, so the oracle must compute the
+  // identical hash — in PLAIN SQL, because the grading harness runs the
+  // oracle on a bare DuckDB connection (no UDF registration; a Python
+  // xxh64 UDF only ever existed on tools/check.py's local connection,
+  // which is why the family's base hash is graft.functions.Hash64, not
+  // xxhash64). Everything is GENERATED from the same Scala constants the
+  // native expressions use (Hash64.PolyMult + fmix64 multipliers,
+  // multiply-shift slot family, SimHash bit weights, Rademacher plane
+  // coefficients), so the two sides cannot drift. Wrapping mod-2^64
+  // arithmetic is done in HUGEINT with the multiplies split into 32-bit
+  // halves (DuckDB integer ops error on overflow instead of wrapping);
+  // xor/shift run in UBIGINT, where they are well-defined logical ops.
 
   private val U64 = "18446744073709551616" // 2^64, HUGEINT literal
   private val I64Min = "9223372036854775808" // 2^63
 
-  /** Unsigned x as HUGEINT from a signed BIGINT expression. */
-  private def toU64(e: String): String =
-    s"(CASE WHEN $e < 0 THEN $e::HUGEINT + $U64 ELSE $e::HUGEINT END)"
-
   /** Signed BIGINT from a HUGEINT value in [0, 2^64). */
   private def toI64(e: String): String =
     s"CAST(CASE WHEN $e >= $I64Min THEN $e - $U64 ELSE $e END AS BIGINT)"
+
+  /** `(v * m) mod 2^64` over HUGEINT `v` in [0, 2^64): the multiplier is
+    * split into unsigned 32-bit halves so every intermediate stays under
+    * 2^97 (HUGEINT max is 2^127−1; a direct 64×64 product is not).
+    */
+  private def mulmodSql(v: String, m: Long): String = {
+    val mh = m >>> 32
+    val ml = m & 0xffffffffL
+    s"(($v * $mh::HUGEINT) % 4294967296 * 4294967296 + $v * $ml::HUGEINT) % $U64::HUGEINT"
+  }
+
+  /** `v ^ (v >>> 33)` — the fmix64 xor-shift, done in UBIGINT (logical
+    * shift, bitwise xor), back to HUGEINT for the next multiply.
+    */
+  private def xorShift33Sql(v: String): String =
+    s"CAST(xor(CAST($v AS UBIGINT), CAST($v AS UBIGINT) >> 33) AS HUGEINT)"
+
+  /** CTE stages computing hash64 (graft.functions.Hash64) of column
+    * `strCol` of CTE `src` in pure DuckDB SQL: the seed-42 polynomial over
+    * code points as one `list_reduce`, then fmix64 as five stages
+    * (xor-shift / multiply / xor-shift / multiply / xor-shift). The final
+    * stage is named `<prefix>h` with columns (carry..., u) where u is the
+    * UNSIGNED hash as HUGEINT in [0, 2^64). Constants come from Hash64
+    * itself — the two sides cannot drift; Hash64Spec pins known vectors.
+    * Code points via per-character indexing (`s[i]` + unicode()): exact
+    * for text without combining marks, including astral-plane characters
+    * (DuckDB indexes per code point where Scala folds the surrogate pair).
+    */
+  def hashStages(prefix: String, src: String, carry: Seq[String],
+      strCol: String): String = {
+    val cols = carry.mkString(", ")
+    val ph = graft.functions.Hash64.PolyMult >>> 32
+    val pl = graft.functions.Hash64.PolyMult & 0xffffffffL
+    s"""${prefix}p AS (
+       |  SELECT $cols, list_reduce(list_prepend(42::HUGEINT,
+       |      list_transform(range(1, length($strCol)+1),
+       |        i -> unicode($strCol[i])::HUGEINT)),
+       |    (a, c) -> ((a * $ph::HUGEINT) % 4294967296 * 4294967296
+       |      + a * $pl::HUGEINT + c) % $U64::HUGEINT) AS v
+       |  FROM $src),
+       |${prefix}x1 AS (SELECT $cols, ${xorShift33Sql("v")} AS v FROM ${prefix}p),
+       |${prefix}m1 AS (SELECT $cols, ${mulmodSql("v", 0xff51afd7ed558ccdL)} AS v FROM ${prefix}x1),
+       |${prefix}x2 AS (SELECT $cols, ${xorShift33Sql("v")} AS v FROM ${prefix}m1),
+       |${prefix}m2 AS (SELECT $cols, ${mulmodSql("v", 0xc4ceb9fe1a85ec53L)} AS v FROM ${prefix}x2),
+       |${prefix}h AS (SELECT $cols, ${xorShift33Sql("v")} AS u FROM ${prefix}m2)""".stripMargin
+  }
 
   /** (slot, ah, al, ub): per-slot multiply-shift constants, the multiplier
     * split into unsigned 32-bit halves for overflow-free mod-2^64 products.
@@ -498,9 +547,10 @@ object SimilarityQueries {
        |  SELECT doc_id, unnest(list_transform(range(len(t) - 2),
        |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
        |  FROM toked),
+       |${hashStages("sh", "shingle", Seq("doc_id"), "sh")},
        |hsplit AS (
        |  SELECT doc_id, u // 4294967296 AS xh, u % 4294967296 AS xl
-       |  FROM (SELECT doc_id, ${toU64("xxh64(sh)")} AS u FROM shingle)),
+       |  FROM shh),
        |slots(slot, ah, al, ub) AS (VALUES
        |    $slotValuesSql),
        |vals AS (
@@ -560,8 +610,9 @@ object SimilarityQueries {
   val q44Sql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |${hashStages("tk", "toks", Seq("doc_id"), "tok")},
        |hu AS (
-       |  SELECT doc_id, ${toU64("xxh64(tok)")} AS u FROM toks),
+       |  SELECT doc_id, u FROM tkh),
        |bits(bit, p2) AS (VALUES
        |    $bitValuesSql),
        |votes AS (
@@ -579,9 +630,12 @@ object SimilarityQueries {
        |  WHERE len(string_split(text, ' ')) >= ${2 + WinnowWindow}),
        |idx AS (
        |  SELECT doc_id, t, unnest(range(len(t) - 2)) AS i FROM toked),
-       |hrow AS (
-       |  SELECT doc_id, i, xxh64(t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) AS h
+       |sstr AS (
+       |  SELECT doc_id, i, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS sh
        |  FROM idx),
+       |${hashStages("w", "sstr", Seq("doc_id", "i"), "sh")},
+       |hrow AS (
+       |  SELECT doc_id, i, ${toI64("u")} AS h FROM wh),
        |hs AS (
        |  SELECT doc_id, list(h ORDER BY i) AS hs FROM hrow GROUP BY doc_id),
        |win AS (

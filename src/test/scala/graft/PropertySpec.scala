@@ -165,11 +165,10 @@ class PropertySpec extends SparkSpec {
   }
 
   test("property: native minhash/simhash match direct reference computations") {
-    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
-    import org.apache.spark.sql.types.StringType
-    import org.apache.spark.unsafe.types.UTF8String
-    def xxh(s: String, seed: Long): Long =
-      XxHash64Function.hash(UTF8String.fromString(s), StringType, seed)
+    // reference model: the CharSequence form of the base hash (the
+    // expressions run the UTF8String byte-walking form — Hash64Spec pins
+    // the two forms equal and pins known vectors independently)
+    def xxh(s: String, seed: Long): Long = graft.functions.Hash64.hash(s)
     val shingleListGen = Gen.nonEmptyListOf(
       Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)).map(_.distinct)
     forAll(Gen.nonEmptyListOf(shingleListGen), n = 5) { docs =>
@@ -181,7 +180,7 @@ class PropertySpec extends SparkSpec {
         .select("id", "sig").collect()
         .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
       docs.zipWithIndex.foreach { case (sh, i) =>
-        // one xxhash64(seed 42) per shingle, then the SplitMix64-seeded
+        // one hash64 per shingle, then the SplitMix64-seeded
         // multiply-shift family (odd a_h · x + b_h) per slot
         import graft.functions.MinHashSignature.splitmix64
         val expected = (0 until k).map { h =>
