@@ -1,0 +1,282 @@
+package graft.streaming
+
+import java.net.URI
+import java.net.http.HttpClient
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.util.concurrent.CompletionStage
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+
+/** S10 — the live WebSocket client the frame grammar was waiting for
+  * (`src/sources/websocket_feed.py:54-133`: socket.io client with
+  * heartbeat, 10-attempt exponential-backoff reconnect capped at 10 s;
+  * `feed_rate_limiter.py:17-97`: 20/s token bucket with critical-signal
+  * bypass).
+  *
+  * Spark-first shape: the client does NOT push rows into a custom
+  * receiver. It spools raw frames to a landing directory as atomically
+  * renamed text files — the bronze landing zone — and the existing
+  * Structured Streaming pipeline picks them up unchanged:
+  * `spark.readStream.text(spool)` → [[SocketFrames.parseFrames]] →
+  * [[Normalizer]] → [[Ingest.start]] (T1–T4). That keeps ingestion
+  * restartable (files are the replay log), lets N feed processes fan into
+  * one stream, and keeps every parsing byte on the codegen'd column path
+  * instead of a driver-side loop.
+  *
+  * Engine-level protocol handled here (the part that must answer within a
+  * socket round-trip, not a micro-batch): Engine.IO open ("0…") →
+  * namespace connect ("40"), ping ("2") → pong ("3"). Everything else —
+  * event classification, tracing, phase inference — stays in the
+  * declarative [[SocketFrames]] grammar.
+  *
+  * The transport is injectable so the protocol/reconnect/rate-limit logic
+  * is testable without a network; [[JdkWebSocketTransport]] is the real
+  * one (java.net.http — JDK-native, zero new dependencies), exercised
+  * end-to-end in WebSocketFeedSpec against an in-process RFC 6455 server.
+  */
+object WebSocketFeed {
+
+  /** Token bucket (`feed_rate_limiter.py:17-78`): refill `rate`/s up to
+    * `burst`, spend 1 per frame. Injectable nano clock for tests.
+    */
+  final class TokenBucket(rate: Double, burst: Double,
+      clock: () => Long = System.nanoTime) {
+    private[this] var tokens = burst
+    private[this] var last = clock()
+    def tryAcquire(): Boolean = synchronized {
+      val now = clock()
+      tokens = math.min(burst, tokens + (now - last) / 1e9 * rate)
+      last = now
+      if (tokens >= 1.0) { tokens -= 1.0; true } else false
+    }
+  }
+
+  /** Critical frames bypass the limiter (`feed_rate_limiter.py:81-97`):
+    * a rug broadcast must never be dropped by flood protection. Substring
+    * probes, not a JSON parse — this sits on the per-frame hot path.
+    */
+  def isCritical(frame: String): Boolean =
+    frame.contains("\"rugged\":true") || frame.contains("RUG_EVENT")
+
+  /** Callbacks a transport delivers; `send` is valid for the connection's
+    * lifetime.
+    */
+  trait FrameListener {
+    def onOpen(send: String => Unit): Unit
+    def onText(frame: String): Unit
+    def onClose(code: Int, reason: String): Unit
+    def onError(t: Throwable): Unit
+  }
+
+  /** One connection attempt; close() tears it down. */
+  trait FrameTransport {
+    def connect(uri: URI, listener: FrameListener): AutoCloseable
+  }
+
+  /** Real transport over java.net.http.WebSocket. Partial text messages
+    * (last=false) are accumulated — the JDK splits large frames; the
+    * grammar expects whole frames.
+    */
+  object JdkWebSocketTransport extends FrameTransport {
+    override def connect(uri: URI, listener: FrameListener): AutoCloseable = {
+      val client = HttpClient.newHttpClient()
+      val partial = new java.lang.StringBuilder
+      val wsListener = new java.net.http.WebSocket.Listener {
+        override def onOpen(ws: java.net.http.WebSocket): Unit = {
+          listener.onOpen(s => ws.sendText(s, true))
+          ws.request(1)
+        }
+        override def onText(ws: java.net.http.WebSocket, data: CharSequence,
+            last: Boolean): CompletionStage[_] = {
+          partial.append(data)
+          if (last) {
+            val frame = partial.toString
+            partial.setLength(0)
+            listener.onText(frame)
+          }
+          ws.request(1)
+          null
+        }
+        override def onClose(ws: java.net.http.WebSocket, code: Int,
+            reason: String): CompletionStage[_] = {
+          listener.onClose(code, reason)
+          null
+        }
+        override def onError(ws: java.net.http.WebSocket, t: Throwable): Unit =
+          listener.onError(t)
+      }
+      val ws = client.newWebSocketBuilder().buildAsync(uri, wsListener).join()
+      () => ws.abort()
+    }
+  }
+
+  /** Feed statistics (the reference's `metrics` dict, websocket_feed.py:108). */
+  final case class Stats(received: Long, spooled: Long, rateLimited: Long,
+      criticalBypass: Long, reconnects: Long)
+}
+
+/** Supervised feed: connect → spool message frames → reconnect with
+  * exponential backoff on close/error, up to `maxAttempts` consecutive
+  * failures (reset by any successful frame). Frames land in
+  * `spoolDir/frames-<conn>-<roll>.txt`, written as `.tmp` and atomically
+  * renamed every `rollEvery` frames (and on connection close) — Spark's
+  * file stream source lists only completed files, so a reader never sees a
+  * half-written batch. `rollEvery` mirrors the reference writer's
+  * "flush at 100 events" (`writer.py:49-65`).
+  *
+  * `sleeper`/`clock` are injectable for deterministic backoff and
+  * rate-limit tests.
+  */
+final class WebSocketFeed(
+    uri: URI,
+    spoolDir: Path,
+    transport: WebSocketFeed.FrameTransport = WebSocketFeed.JdkWebSocketTransport,
+    rateLimit: Double = 20.0, // websocket_feed.py:57 default
+    burst: Double = 40.0,
+    maxAttempts: Int = 10, // websocket_feed.py:78
+    baseDelayMs: Long = 1000, // websocket_feed.py:79
+    maxDelayMs: Long = 10000, // websocket_feed.py:80
+    rollEvery: Int = 100,
+    sleeper: Long => Unit = ms => Thread.sleep(ms),
+    clock: () => Long = System.nanoTime) {
+
+  import WebSocketFeed._
+
+  private val bucket = new TokenBucket(rateLimit, burst, clock)
+  private val received = new AtomicLong
+  private val spooled = new AtomicLong
+  private val rateLimited = new AtomicLong
+  private val criticalBypass = new AtomicLong
+  private val reconnects = new AtomicLong
+  private val running = new AtomicBoolean(false)
+  private val connEpoch = new AtomicLong
+  @volatile private var thread: Thread = _
+
+  Files.createDirectories(spoolDir)
+
+  def stats: Stats = Stats(received.get, spooled.get, rateLimited.get,
+    criticalBypass.get, reconnects.get)
+
+  // --- spool ---------------------------------------------------------------
+  private[this] val pending = new java.lang.StringBuilder
+  private[this] var pendingCount = 0
+  private[this] var rollSeq = 0L
+
+  private def spool(frame: String): Unit = synchronized {
+    pending.append(frame).append('\n')
+    pendingCount += 1
+    spooled.incrementAndGet()
+    if (pendingCount >= rollEvery) flush()
+  }
+
+  /** Atomically publish buffered frames as one spool file. */
+  def flush(): Unit = synchronized {
+    if (pendingCount > 0) {
+      val name = f"frames-${connEpoch.get}%05d-$rollSeq%06d.txt"
+      rollSeq += 1
+      val tmp = spoolDir.resolve(s".$name.tmp")
+      Files.write(tmp, pending.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, spoolDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      pending.setLength(0)
+      pendingCount = 0
+    }
+  }
+
+  // --- protocol ------------------------------------------------------------
+  /** Engine-level responses + spooling; returns true if the frame proves
+    * the connection is live (resets the backoff counter).
+    */
+  private[streaming] def handleFrame(frame: String, send: String => Unit): Boolean = {
+    received.incrementAndGet()
+    if (frame.isEmpty) return false
+    frame.charAt(0) match {
+      case '0' => send("40"); true // Engine.IO open → namespace connect
+      case '2' => send("3"); true // ping → pong (heartbeat)
+      case '4' =>
+        val critical = isCritical(frame)
+        if (critical) criticalBypass.incrementAndGet()
+        if (critical || bucket.tryAcquire()) spool(frame)
+        else rateLimited.incrementAndGet()
+        true
+      case _ => true // upgrade/noop/ack — live but nothing to do
+    }
+  }
+
+  /** Exponential backoff delay before reconnect attempt `n` (1-based):
+    * base·2^(n−1) capped at max — 1 s, 2 s, 4 s, 8 s, 10 s, 10 s, …
+    */
+  private[streaming] def backoffMs(attempt: Int): Long =
+    math.min(maxDelayMs, baseDelayMs << math.min(attempt - 1, 30))
+
+  // --- supervision ---------------------------------------------------------
+  /** One connection lifetime; returns when the socket closes or errors.
+    * @return true if at least one frame arrived (healthy session)
+    */
+  private def runOnce(): Boolean = {
+    val sawFrame = new AtomicBoolean(false)
+    val closed = new java.util.concurrent.CountDownLatch(1)
+    connEpoch.incrementAndGet()
+    val conn = transport.connect(uri, new FrameListener {
+      @volatile private var sendFn: String => Unit = _ => ()
+      override def onOpen(send: String => Unit): Unit = sendFn = send
+      override def onText(frame: String): Unit = {
+        if (handleFrame(frame, sendFn)) sawFrame.set(true)
+      }
+      override def onClose(code: Int, reason: String): Unit = closed.countDown()
+      override def onError(t: Throwable): Unit = closed.countDown()
+    })
+    try closed.await()
+    finally {
+      conn.close()
+      flush() // publish the tail of this connection's frames
+    }
+    sawFrame.get
+  }
+
+  private def safeSleep(ms: Long): Unit =
+    try sleeper(ms)
+    catch { case _: InterruptedException => () }
+
+  /** Supervision loop: reconnect until `close()` or `maxAttempts`
+    * consecutive dead sessions.
+    */
+  private def supervise(): Unit = {
+    var failures = 0
+    while (running.get && failures < maxAttempts) {
+      val healthy =
+        try runOnce()
+        catch { case _: Exception => false }
+      if (!running.get) return
+      if (healthy) failures = 0 else failures += 1
+      if (failures > 0 && failures < maxAttempts) {
+        reconnects.incrementAndGet()
+        safeSleep(backoffMs(failures))
+      } else if (healthy) {
+        reconnects.incrementAndGet()
+        safeSleep(baseDelayMs) // server closed a healthy session: plain retry
+      }
+    }
+    running.set(false)
+  }
+
+  def start(): WebSocketFeed = {
+    if (running.compareAndSet(false, true)) {
+      thread = new Thread(() => supervise(), "ws-feed")
+      thread.setDaemon(true)
+      thread.start()
+    }
+    this
+  }
+
+  def isRunning: Boolean = running.get
+
+  def close(): Unit = {
+    running.set(false)
+    val t = thread
+    if (t != null) {
+      t.interrupt()
+      t.join(5000)
+    }
+    flush()
+  }
+}
