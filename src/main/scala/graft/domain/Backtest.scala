@@ -73,10 +73,24 @@ object Backtest {
   /** Equity curve over games ordered by timestamp: cumulative compounded
     * bankroll + running peak + drawdown (A16 session metrics).
     * pnl is a FRACTION of bankroll per game (fractional staking).
+    *
+    * Partitioning: a SINGLE portfolio's curve is an inherently sequential
+    * fold over its own ordered games, and one session is bounded (~10³–10⁴
+    * games, BASELINE.md) — so the unpartitioned window is a bounded
+    * single-partition sort, not a 100 TB hazard. What scales is the NUMBER
+    * of curves: sweeping strategies/splits/cohorts means one independent
+    * curve per key, and `partitionCols` makes each a window partition —
+    * N curves compute in parallel with no cross-key traffic (the q46
+    * per-user form of the same shape). Callers folding a giant multi-year
+    * single curve should bucket time into `partitionCols` and stitch
+    * offsets — not ask one window to sort the world.
     */
-  def equityCurve(perGamePnl: DataFrame, startingBankroll: Double = 1.0): DataFrame = {
-    val w = Window.orderBy("timestamp", "game_id")
-      .rowsBetween(Window.unboundedPreceding, 0)
+  def equityCurve(perGamePnl: DataFrame, startingBankroll: Double = 1.0,
+      partitionCols: Seq[String] = Nil): DataFrame = {
+    val base = if (partitionCols.isEmpty) Window.orderBy("timestamp", "game_id")
+      else Window.partitionBy(partitionCols.map(col): _*)
+        .orderBy("timestamp", "game_id")
+    val w = base.rowsBetween(Window.unboundedPreceding, 0)
     val bankroll = lit(startingBankroll) *
       exp(sum(log(greatest(lit(1e-12), lit(1.0) + col("pnl")))).over(w))
     val peak = max(bankroll).over(w)

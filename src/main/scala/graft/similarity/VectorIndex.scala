@@ -9,9 +9,10 @@ import org.apache.spark.sql.functions._
   * incremental chunk consumption (ts > checkpoint) → embedding → an
   * LSH-cell-partitioned index table → cell-local cosine search.
   *
-  * The EMBEDDING step is a deterministic stub (feature hashing of tokens —
-  * no embedding model ships in this environment): real pipelines swap
-  * `embed` for a model-serving stage (mapInPandas/ONNX); every other stage —
+  * The EMBEDDING step is a deterministic stub (hashing vectorizer with
+  * bucket-level smooth-IDF weights frozen at first build — no embedding
+  * model ships in this environment): real pipelines swap `embed` for a
+  * model-serving stage (mapInPandas/ONNX); every other stage —
   * chunking, cell assignment, partitioned layout, search plan — is the real
   * 100 TB shape:
   *   - the index is WRITTEN partitioned by LSH cell, so a query reads ONE
@@ -26,18 +27,31 @@ object VectorIndex {
   val CellBits = 8 // 256 cells
 
   /** Deterministic stub embedding: hash each token into one of `Dim` signed
-    * buckets, L2-normalize. Pure column expressions (aggregate over the
-    * token array), so it runs inside codegen like the real model stage
-    * would run inside its batch UDF.
+    * buckets (the hashing-vectorizer trick), weight it by the bucket's
+    * smooth IDF when a weight vector is given (TF-IDF at hashed-feature
+    * granularity), L2-normalize. Pure column expressions (aggregate over
+    * the token array), so it runs inside codegen like the real model stage
+    * would run inside its batch UDF; the idf weights enter as a Dim-sized
+    * array LITERAL — no join, no broadcast, no shuffle.
+    *
+    * `idf = None` means uniform weights (raw hashing vectorizer) — used
+    * before any corpus statistics exist and by indexes built before the
+    * sidecar was introduced.
     */
-  def embed(chunks: DataFrame, textCol: String = "chunk_text"): DataFrame = {
+  def embed(chunks: DataFrame, textCol: String = "chunk_text",
+      idf: Option[Seq[Double]] = None): DataFrame = {
     val toks = col("__toks")
     val zero = array_repeat(lit(0.0), Dim)
+    val weights = idf.map(w => typedLit(w))
     val accum = aggregate(toks, zero, (acc, t) => {
       val h = xxhash64(t)
       val bucket = pmod(h, lit(Dim)).cast("int")
       val sign = when(pmod(shiftright(h, 8), lit(2)) === 0, 1.0).otherwise(-1.0)
-      transform(acc, (v, i) => when(i === bucket, v + sign).otherwise(v))
+      val contrib = weights match {
+        case Some(w) => sign * element_at(w, bucket + 1)
+        case None => sign
+      }
+      transform(acc, (v, i) => when(i === bucket, v + contrib).otherwise(v))
     })
     chunks
       .withColumn("__toks", split(col(textCol), "\\s+"))
@@ -48,6 +62,50 @@ object VectorIndex {
         when(col("__norm") > 0, transform(col("__raw"), v => v / col("__norm")))
           .otherwise(col("__raw")))
       .drop("__toks", "__raw", "__norm")
+  }
+
+  /** Smooth IDF per hashed bucket: `ln((N+1)/(df_b+1)) + 1` where df_b
+    * counts chunks containing at least one token hashing to bucket b
+    * (sklearn's smooth_idf, applied at the hashed-feature level — the
+    * vocabulary never materializes, so the statistic is a Dim-row
+    * aggregate at any corpus size: per-chunk distinct buckets explode to
+    * ≤ Dim rows each, one groupBy, Dim output rows).
+    */
+  def bucketIdf(chunks: DataFrame, textCol: String = "chunk_text"): Seq[Double] = {
+    val n = chunks.count()
+    val df = chunks
+      .select(explode(array_distinct(transform(split(col(textCol), "\\s+"),
+        t => pmod(xxhash64(t), lit(Dim)).cast("int")))).as("bucket"))
+      .groupBy("bucket").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (0 until Dim).map(b => math.log((n + 1.0) / (df.getOrElse(b, 0L) + 1.0)) + 1.0)
+  }
+
+  // --- idf sidecar: weights are FROZEN at first build so every later
+  // increment and every query embeds in the same space (re-deriving idf per
+  // batch would silently shift all previously indexed vectors' geometry).
+  // Underscore prefix keeps it invisible to partition discovery.
+
+  private def idfPath(indexPath: String) =
+    new org.apache.hadoop.fs.Path(s"$indexPath/_idf.csv")
+
+  private def saveIdf(spark: SparkSession, indexPath: String, w: Seq[Double]): Unit = {
+    val p = idfPath(indexPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(w.mkString(",").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private[similarity] def loadIdf(spark: SparkSession, indexPath: String): Option[Seq[Double]] = {
+    val p = idfPath(indexPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8").split(",").toSeq.map(_.toDouble))
+      finally in.close()
+    }
   }
 
   /** Build (or incrementally extend) the index: chunk the store past the
@@ -61,19 +119,25 @@ object VectorIndex {
     // the write would advance the checkpoint past events a concurrent
     // ingest appended in between (silently never indexed), and would run
     // the embed pipeline a second time.
-    val embedded = embed(graft.store.Indexer.incrementalChunks(
-        spark, storePath, sinceTs, chunkSize))
-      .withColumn("cell",
-        graft.functions.RandomHyperplaneSignature
-          .rh_signature(spark, "embedding", CellBits))
-      .persist()
+    val chunks = graft.store.Indexer.incrementalChunks(
+      spark, storePath, sinceTs, chunkSize).persist()
     try {
-      if (embedded.isEmpty) sinceTs
+      if (chunks.isEmpty) sinceTs
       else {
-        embedded.write.mode("append").partitionBy("cell").parquet(indexPath)
-        embedded.agg(max("max_ts")).head().getString(0)
+        // first build freezes the idf weights; increments + queries reuse
+        val idf = loadIdf(spark, indexPath).getOrElse {
+          val w = bucketIdf(chunks)
+          saveIdf(spark, indexPath, w)
+          w
+        }
+        embed(chunks, idf = Some(idf))
+          .withColumn("cell",
+            graft.functions.RandomHyperplaneSignature
+              .rh_signature(spark, "embedding", CellBits))
+          .write.mode("append").partitionBy("cell").parquet(indexPath)
+        chunks.agg(max("max_ts")).head().getString(0)
       }
-    } finally embedded.unpersist()
+    } finally chunks.unpersist()
   }
 
   /** Cell-local cosine top-k: embed the query text the same way, read ONLY
@@ -83,7 +147,8 @@ object VectorIndex {
   def search(spark: SparkSession, indexPath: String, queryText: String,
       k: Int = 5, probeNeighborCells: Boolean = true): DataFrame = {
     import spark.implicits._
-    val qRow = embed(Seq(queryText).toDF("chunk_text"))
+    val qRow = embed(Seq(queryText).toDF("chunk_text"),
+        idf = loadIdf(spark, indexPath))
       .withColumn("cell",
         graft.functions.RandomHyperplaneSignature
           .rh_signature(spark, "embedding", CellBits))

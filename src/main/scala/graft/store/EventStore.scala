@@ -140,6 +140,68 @@ object EventStore {
         round(sum(col("fs")) / (1024.0 * 1024.0), 3).as("storage_mb"))
       .orderBy("doc_type")
 
+  /** Compact small files inside Hive partitions (the maintenance pass the
+    * 5-second streaming trigger makes necessary: S5 lands a file per
+    * micro-batch per partition, and a day of 5 s batches is ~17k files —
+    * file-listing and task-scheduling overhead grows linearly with file
+    * count while scan bytes don't). The reference rewrites its store in
+    * one driver pass (`export_jsonl.py` round-trips; writer.py just
+    * rotates); at 100 TB this is what a table format calls OPTIMIZE —
+    * expressed here at the filesystem level:
+    *
+    *   1. partition stats come from the `_metadata` hidden columns — one
+    *      distributed listing-only job, no file opens;
+    *   2. only partitions that NEED work are touched (more than
+    *      `maxFilesPerPartition` files, or average file under half
+    *      `targetFileBytes`) — a closed date partition is compacted once
+    *      and never rewritten again;
+    *   3. each selected partition is rewritten to ceil(bytes/target)
+    *      files and swapped in with two FileSystem renames (write to
+    *      sibling tmp dir → rename old aside → rename tmp in → delete
+    *      old). Readers between the two renames can see the partition
+    *      briefly missing — this is a single-writer maintenance op, same
+    *      assumption the reference's exporters make.
+    *
+    * Returns (doc_type, date, files_before, files_after) per compacted
+    * partition. The driver loop is over the PARTITION LIST (metadata
+    * scale); each rewrite is a distributed job.
+    */
+  def compact(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20,
+      maxFilesPerPartition: Int = 8): Seq[(String, String, Long, Int)] = {
+    val perFile = read(spark, path)
+      .select(col("doc_type"), col("date").cast("string").as("date"),
+        col("_metadata.file_path").as("fp"),
+        col("_metadata.file_size").as("fs"))
+      .groupBy("doc_type", "date", "fp")
+      .agg(first(col("fs")).as("fs"))
+    val parts = perFile.groupBy("doc_type", "date")
+      .agg(count(lit(1)).as("n_files"), sum("fs").as("bytes"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    parts.toSeq
+      .filter { case (_, _, n, bytes) =>
+        n > maxFilesPerPartition ||
+          (n > 1 && bytes / n < targetFileBytes / 2)
+      }
+      .map { case (dt, date, n, bytes) =>
+        val dir = new org.apache.hadoop.fs.Path(
+          s"$path/doc_type=$dt/date=$date")
+        val fs = dir.getFileSystem(hadoopConf)
+        val tmp = dir.suffix(".compact_tmp")
+        val old = dir.suffix(".compact_old")
+        val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+        spark.read.parquet(dir.toString)
+          .coalesce(nOut)
+          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        require(fs.rename(dir, old), s"compact: could not move $dir aside")
+        require(fs.rename(tmp, dir), s"compact: could not publish $tmp")
+        fs.delete(old, true)
+        (dt, date, n, nOut)
+      }
+  }
+
   /** Parse the nested complete_game documents out of raw_json (F3). */
   def completeGames(envelopes: DataFrame): DataFrame =
     envelopes

@@ -62,4 +62,31 @@ class BacktestSpec extends SparkSpec {
     assert(math.abs(metrics.getAs[Double]("win_rate") - 2.0 / 3) < 1e-12)
     assert(metrics.getAs[Double]("max_drawdown") > 0.0)
   }
+
+  test("partitioned equity curves equal per-key curves computed alone") {
+    // a strategy sweep: each strategy's curve must be the curve that
+    // strategy would get on its own, computed in ONE partitioned pass
+    val pnl = Seq(
+      ("a", "g1", 1L, 0.10, true), ("a", "g2", 2L, -0.05, false),
+      ("a", "g3", 3L, 0.30, true),
+      ("b", "g1", 1L, -0.20, false), ("b", "g2", 2L, 0.50, true))
+      .toDF("strategy", "game_id", "timestamp", "pnl", "won")
+    val together = Backtest.equityCurve(pnl, partitionCols = Seq("strategy"))
+      .select("strategy", "game_id", "bankroll", "peak", "drawdown")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    Seq("a", "b").foreach { strat =>
+      val alone = Backtest.equityCurve(pnl.filter($"strategy" === strat))
+        .select("game_id", "bankroll", "peak", "drawdown").collect()
+      alone.foreach { r =>
+        assert(together((strat, r.getString(0))) ===
+          ((r.getDouble(1), r.getDouble(2), r.getDouble(3))), s"$strat/${r.getString(0)}")
+      }
+    }
+    // and the plan has no single-partition exchange when partitioned
+    val plan = Backtest.equityCurve(pnl, partitionCols = Seq("strategy"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"single-partition window:\n$plan")
+  }
 }

@@ -25,6 +25,32 @@ class VectorIndexSpec extends SparkSpec {
     assert(e("a").length === VectorIndex.Dim)
   }
 
+  test("bucketIdf downweights ubiquitous tokens; embed uses the weights") {
+    // model-based: buckets come from the same hash expression the code uses
+    def bucketOf(tok: String): Int = Seq(tok).toDF("t")
+      .select(pmod(xxhash64(col("t")), lit(VectorIndex.Dim)).cast("int"))
+      .head().getInt(0)
+    val (common, rare) = ("omnipresent", "unicorn")
+    assume(bucketOf(common) != bucketOf(rare)) // no hash collision for this pair
+    val corpus = Seq(
+      ("d1", s"$common $rare"), ("d2", s"$common filler"),
+      ("d3", s"$common other"), ("d4", s"$common more"))
+      .toDF("id", "chunk_text")
+    val idf = VectorIndex.bucketIdf(corpus)
+    // common token: df=4 of N=4 -> ln(5/5)+1 = 1; rare: ln(5/2)+1
+    assert(math.abs(idf(bucketOf(common)) - 1.0) < 1e-12)
+    assert(math.abs(idf(bucketOf(rare)) - (math.log(5.0 / 2) + 1)) < 1e-12)
+    // in the weighted embedding of d1 the rare component dominates;
+    // unweighted they tie
+    val emb = VectorIndex.embed(corpus.filter($"id" === "d1"), idf = Some(idf))
+      .select("embedding").head().getSeq[Double](0)
+    val unw = VectorIndex.embed(corpus.filter($"id" === "d1"))
+      .select("embedding").head().getSeq[Double](0)
+    assert(math.abs(emb(bucketOf(rare))) > math.abs(emb(bucketOf(common))))
+    assert(math.abs(math.abs(unw(bucketOf(rare))) -
+      math.abs(unw(bucketOf(common)))) < 1e-12)
+  }
+
   test("build + incremental build + cell-partitioned search round trip") {
     val store = java.nio.file.Files.createTempDirectory("graft-vstore").toString
     val index = java.nio.file.Files.createTempDirectory("graft-vindex").toString + "/idx"
@@ -41,6 +67,9 @@ class VectorIndexSpec extends SparkSpec {
     val hit = VectorIndex.search(spark, index, "alpha bravo charlie delta").head()
     assert(hit.getAs[String]("chunk_text").contains("alpha bravo charlie delta"))
     assert(hit.getAs[Double]("cosine") > 0.9)
+    // idf weights were frozen by the first build
+    val idf1 = VectorIndex.loadIdf(spark, index)
+    assert(idf1.exists(_.length === VectorIndex.Dim))
     // incremental: a later event extends the index without rebuilding
     mkStore(store, Seq(("s3", 0L, "2024-01-01T00:00:05", "golf hotel india juliet")))
     val ckpt2 = VectorIndex.build(spark, store, index, sinceTs = ckpt1, chunkSize = 1)
@@ -49,5 +78,11 @@ class VectorIndexSpec extends SparkSpec {
     assert(hit2.getAs[String]("chunk_text").contains("golf hotel"))
     // old content still indexed exactly once
     assert(spark.read.parquet(index).count() === 4)
+    // the increment did NOT re-derive idf (geometry stays consistent)
+    assert(VectorIndex.loadIdf(spark, index) === idf1)
+    // an exact re-query of first-batch content still scores 1.0: query and
+    // index vectors share the frozen weight space
+    val hit3 = VectorIndex.search(spark, index, "alpha bravo charlie delta").head()
+    assert(hit3.getAs[Double]("cosine") === 1.0)
   }
 }

@@ -109,6 +109,43 @@ class EventStoreSpec extends SparkSpec {
     assert(back.columns.toSeq === Seq("game_id", "n_events"))
     assert(back.count() === summary.count())
   }
+
+  test("compact merges small-file partitions, preserves rows, skips healthy ones") {
+    // fresh store written in MANY small appends — the micro-batch landing
+    // pattern compact exists for
+    val dir = Files.createTempDirectory("graft-compact").toString
+    val envs = Fixture.envelopes(spark)
+    EventStore.write(envs.limit(0), dir, SaveMode.Overwrite)
+    envs.collect().grouped(3).foreach { chunk =>
+      EventStore.write(spark.createDataFrame(
+        spark.sparkContext.parallelize(chunk.toSeq, 1),
+        EventStore.envelopeSchema), dir)
+    }
+    def files(sub: String) = new java.io.File(s"$dir/$sub").listFiles
+      .filter(f => f.getName.endsWith(".parquet")).length
+    val before = EventStore.read(spark, dir).orderBy("seq", "doc_type")
+      .collect().toSeq
+    assert(files("doc_type=game_tick/date=2026-01-01") > 1, "setup: want small files")
+
+    val done = EventStore.compact(spark, dir, targetFileBytes = 1L << 30,
+      maxFilesPerPartition = 1)
+    assert(done.nonEmpty)
+    // every compacted partition landed at its computed file count (1: tiny
+    // bytes vs 1 GiB target), no tmp/old dirs left behind
+    done.foreach { case (dt, date, nBefore, nAfter) =>
+      assert(nAfter === 1 && nBefore > 1, s"$dt/$date")
+      assert(files(s"doc_type=$dt/date=$date") === 1)
+    }
+    assert(!new java.io.File(dir).list().exists(_.contains("compact")),
+      "no leftover tmp dirs")
+    val after = EventStore.read(spark, dir).orderBy("seq", "doc_type")
+      .collect().toSeq
+    assert(after === before, "compaction must not change the data")
+
+    // second run: everything is within policy now — no partition rewritten
+    assert(EventStore.compact(spark, dir, targetFileBytes = 1L << 30,
+      maxFilesPerPartition = 1).isEmpty)
+  }
 }
 
 /** Canonical mini-dataset builder (FIXTURES.md §1). */
