@@ -332,8 +332,173 @@ object TextQueries {
        |  min(doc_id) AS min_doc
        |FROM sampled GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q60 — repetition quality filter (the Gopher-rule family, Rae et al.
+  // 2021 §A1.1: documents dominated by a repeated n-gram are boilerplate /
+  // spam and get dropped before training):
+  //   - top2_share: fraction of the document's 2-gram slots occupied by
+  //     its single most common 2-gram (Gopher bars this at 0.20);
+  //   - dup3_frac: fraction of 3-gram occurrences that are repeats of an
+  //     earlier 3-gram (Gopher's duplicate-n-gram family);
+  //   - flagged: either bar exceeded.
+  // Scale shape: dup3_frac is a PURE ARRAY expression (distinct/size — no
+  // shuffle); the 2-gram mode genuinely needs a count per (doc, gram), so
+  // only (doc_id, 8-byte hashed gram) rows shuffle — hashing the gram
+  // instead of shuffling gram STRINGS is the same injective-hash trick as
+  // q47 (counts are unchanged; the mode's identity is never output).
+  val TopNgramShareMax = 0.20 // Gopher 2-gram bar
+  val DupNgramFracMax = 0.30
+  val q60RepetitionFilter: Q = (s, d) => {
+    val t = col("__t")
+    // n-grams via arrays_zip of SHIFTED SLICES (the q42 lesson: a
+    // transform-over-sequence with slice() inside the lambda re-slices per
+    // element — O(n²) per document in the interpreted HOF evaluator, and
+    // measured 4× slower here). The zip is one O(n) pass; the 2-gram hash
+    // runs AFTER the explode as a scalar codegen'd expression.
+    val m2 = greatest(size(t) - 1, lit(0))
+    val m3 = greatest(size(t) - 2, lit(0))
+    val g = Tables.documents(s, d)
+      .withColumn("__t", toks)
+      .filter(size(t) >= 2)
+      .select(col("doc_id"), size(t).as("n_tokens"),
+        arrays_zip(slice(t, lit(1), m2), slice(t, lit(2), m2)).as("z2"),
+        transform(
+          arrays_zip(slice(t, lit(1), m3), slice(t, lit(2), m3),
+            slice(t, lit(3), m3)),
+          z => xxhash64(concat_ws(" ", z("0"), z("1"), z("2")))).as("g3"))
+    val dup3 = when(size(col("g3")) > 0,
+      round(lit(1.0) - size(array_distinct(col("g3"))).cast("double")
+        / size(col("g3")).cast("double"), 6)).otherwise(0.0)
+    val top2 = g.select(col("doc_id"), explode(col("z2")).as("z"))
+      .select(col("doc_id"),
+        xxhash64(concat_ws(" ", col("z")("0"), col("z")("1"))).as("h"))
+      .groupBy("doc_id", "h").count()
+      .groupBy("doc_id").agg(max("count").as("top2"))
+    g.select(col("doc_id"), col("n_tokens"), dup3.as("dup3_frac"))
+      .join(top2, "doc_id")
+      .withColumn("top2_share",
+        round(col("top2").cast("double") / (col("n_tokens") - 1).cast("double"), 6))
+      .withColumn("flagged",
+        col("top2_share") > TopNgramShareMax || col("dup3_frac") > DupNgramFracMax)
+      .select("doc_id", "n_tokens", "top2_share", "dup3_frac", "flagged")
+      .orderBy("doc_id")
+  }
+  val q60Sql: String =
+    s"""WITH toked AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 2),
+       |g2 AS (
+       |  SELECT doc_id, unnest(list_transform(range(len(t) - 1),
+       |    i -> t[i+1] || ' ' || t[i+2])) AS g
+       |  FROM toked),
+       |top2 AS (
+       |  SELECT doc_id, max(c) AS top2
+       |  FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2)
+       |  GROUP BY doc_id),
+       |d3 AS (
+       |  SELECT doc_id, len(t) AS n_tokens,
+       |    CASE WHEN len(t) >= 3 THEN list_transform(range(len(t) - 2),
+       |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+       |    ELSE [] END AS g3
+       |  FROM toked)
+       |SELECT d3.doc_id, n_tokens,
+       |  round(CAST(top2 AS DOUBLE) / (n_tokens - 1), 6) AS top2_share,
+       |  CASE WHEN len(g3) > 0
+       |    THEN round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6)
+       |    ELSE 0.0 END AS dup3_frac,
+       |  (round(CAST(top2 AS DOUBLE) / (n_tokens - 1), 6) > $TopNgramShareMax
+       |   OR CASE WHEN len(g3) > 0
+       |     THEN round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6)
+       |     ELSE 0.0 END > $DupNgramFracMax) AS flagged
+       |FROM d3 JOIN top2 ON d3.doc_id = top2.doc_id
+       |ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q61 — cross-source shared-boilerplate matrix: fingerprint every doc by
+  // its opening 8 tokens (the template/boilerplate signal — mirrored feeds
+  // and scraped templates share openings long before they share full
+  // texts), then for every source pair count the distinct fingerprints
+  // appearing in BOTH (off-diagonal) or at least twice within one source
+  // (diagonal) — the provenance report a corpus build runs to decide which
+  // source to keep a duplicate from. Full-text md5 is the stricter key but
+  // vacuous on this corpus (exact cross-source copies are rare by
+  // construction); the prefix fingerprint is the same relational shape at
+  // any key. Scale shape: documents collapse to (md5(prefix), source,
+  // count) FIRST — one groupBy of 16-byte keys — and the pair join runs on
+  // that tiny digest relation, never on documents.
+  val BoilerplatePrefixTokens = 8
+  val q61SourceDupMatrix: Q = (s, d) => {
+    val h = Tables.documents(s, d)
+      .groupBy(
+        md5(array_join(slice(toks, 1, BoilerplatePrefixTokens), " ")).as("h"),
+        col("source"))
+      .agg(count(lit(1)).as("c"))
+    val a = h.select(col("h"), col("source").as("source_a"), col("c").as("ca"))
+    val b = h.select(col("h"), col("source").as("source_b"))
+    a.join(b, Seq("h"))
+      .filter(col("source_a") < col("source_b") ||
+        (col("source_a") === col("source_b") && col("ca") >= 2))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared_texts"))
+      .orderBy("source_a", "source_b")
+  }
+  val q61Sql: String =
+    s"""WITH h AS (
+       |  SELECT md5(list_aggregate(
+       |      (string_split(text, ' '))[1:$BoilerplatePrefixTokens],
+       |      'string_agg', ' ')) AS h,
+       |    source, count(*) AS c
+       |  FROM documents GROUP BY 1, 2)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |  count(*) AS n_shared_texts
+       |FROM h a JOIN h b ON a.h = b.h
+       |WHERE a.source < b.source OR (a.source = b.source AND a.c >= 2)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q62 — temperature-based source mixing (the data-mixing step of every
+  // multi-source training corpus — upweight small high-quality sources,
+  // damp the giant crawl: sampling weight ∝ tokens^α, α < 1): per source,
+  // document/token mass, the normalized mixing weight, and the document
+  // budget it buys at a fixed total. Deterministic floor for the budget
+  // split (no largest-remainder tie politics in the oracle compare).
+  // Scale shape: one map-side-combinable groupBy to #sources rows; the
+  // normalization is over that tiny relation.
+  val MixAlpha = 0.5
+  val MixDocBudget = 10000L
+  val q62SourceMixing: Q = (s, d) => {
+    val bySource = Tables.documents(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(toks)).as("n_tokens"))
+    val total = bySource.agg(
+      sum(pow(col("n_tokens").cast("double"), MixAlpha))).head().getDouble(0)
+    bySource
+      .withColumn("weight",
+        round(pow(col("n_tokens").cast("double"), MixAlpha) / total, 6))
+      .withColumn("doc_budget",
+        floor(pow(col("n_tokens").cast("double"), MixAlpha) / total * MixDocBudget)
+          .cast("long"))
+      .select("source", "n_docs", "n_tokens", "weight", "doc_budget")
+      .orderBy("source")
+  }
+  val q62Sql: String =
+    s"""WITH by_source AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT sum(pow(n_tokens, $MixAlpha)) AS t FROM by_source)
+       |SELECT source, n_docs, n_tokens,
+       |  round(pow(n_tokens, $MixAlpha) / t, 6) AS weight,
+       |  CAST(floor(pow(n_tokens, $MixAlpha) / t * $MixDocBudget) AS BIGINT)
+       |    AS doc_budget
+       |FROM by_source, tot ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q59_curation_pipeline" -> q59CurationPipeline,
+    "q60_repetition_filter" -> q60RepetitionFilter,
+    "q61_source_dup_matrix" -> q61SourceDupMatrix,
+    "q62_source_mixing" -> q62SourceMixing,
     "q57_sequence_packing" -> q57SequencePacking,
     "q58_decontamination" -> q58Decontamination,
     "q32_token_count" -> q32TokenCount,
@@ -345,6 +510,9 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "q59_curation_pipeline" -> q59Sql,
+    "q60_repetition_filter" -> q60Sql,
+    "q61_source_dup_matrix" -> q61Sql,
+    "q62_source_mixing" -> q62Sql,
     "q57_sequence_packing" -> q57Sql,
     "q58_decontamination" -> q58Sql,
     "q32_token_count" -> q32Sql,
