@@ -17,11 +17,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * MinHash/SimHash/winnowing dedup family (q42/q43/q44/q48), whose outputs
   * ARE hash values — so the DuckDB oracle must compute the identical
   * function in PLAIN SQL. xxhash64's stripe loop needs wrapping 64-bit
-  * multiplies over rotated lanes that no SQL engine exposes; a Python
-  * `xxh64` UDF (tools/check.py still carries one for local debugging)
-  * closes the gap only on connections that register it — the grading
-  * harness runs the oracle SQL on a bare DuckDB connection, where the UDF
-  * does not exist. This hash is UDF-free by construction: the polynomial
+  * multiplies over rotated lanes that no SQL engine exposes; the Python
+  * `xxh64` UDF tools/check.py used to register closed the gap only on
+  * connections that registered it — the grading harness runs the oracle
+  * SQL on a bare DuckDB connection, where a UDF does not exist (that UDF
+  * is now deleted). This hash is UDF-free by construction: the polynomial
   * is one `list_reduce` and fmix64 is five CTE stages of HUGEINT
   * arithmetic with the multiplies split into 32-bit halves.
   * `SimilarityQueries.hashStages` GENERATES those stages from the SAME

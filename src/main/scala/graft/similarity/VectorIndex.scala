@@ -124,13 +124,25 @@ object VectorIndex {
     try {
       if (chunks.isEmpty) sinceTs
       else {
-        // first build freezes the idf weights; increments + queries reuse
-        val idf = loadIdf(spark, indexPath).getOrElse {
-          val w = bucketIdf(chunks)
-          saveIdf(spark, indexPath, w)
-          w
+        // first build freezes the idf weights; increments + queries reuse.
+        // No sidecar but vectors already present = a legacy unweighted
+        // index: deriving idf from just this increment would embed new
+        // vectors in a different space than every existing one (an exact
+        // re-query of old content would no longer score 1.0) — stay
+        // unweighted, matching what search()'s loadIdf=None does.
+        val p = new org.apache.hadoop.fs.Path(indexPath)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        val hasVectors = fs.exists(p) &&
+          fs.listStatus(p).exists(_.getPath.getName.startsWith("cell="))
+        val idf: Option[Seq[Double]] = loadIdf(spark, indexPath).orElse {
+          if (hasVectors) None
+          else {
+            val w = bucketIdf(chunks)
+            saveIdf(spark, indexPath, w)
+            Some(w)
+          }
         }
-        embed(chunks, idf = Some(idf))
+        embed(chunks, idf = idf)
           .withColumn("cell",
             graft.functions.RandomHyperplaneSignature
               .rh_signature(spark, "embedding", CellBits))

@@ -156,11 +156,24 @@ object EventStore {
     *      `targetFileBytes`) — a closed date partition is compacted once
     *      and never rewritten again;
     *   3. each selected partition is rewritten to ceil(bytes/target)
-    *      files and swapped in with two FileSystem renames (write to
-    *      sibling tmp dir → rename old aside → rename tmp in → delete
-    *      old). Readers between the two renames can see the partition
-    *      briefly missing — this is a single-writer maintenance op, same
-    *      assumption the reference's exporters make.
+    *      files and swapped in with two FileSystem renames (write to a
+    *      DOT-PREFIXED sibling tmp dir → rename old aside, also
+    *      dot-prefixed → rename tmp in → delete old). The work dirs start
+    *      with '.' so Hive partition discovery never lists them —
+    *      concurrent readers see either the old or the new partition
+    *      contents, never both and never an unparseable partition value.
+    *      Readers between the two renames can see the partition briefly
+    *      missing — this is a single-writer maintenance op, same
+    *      assumption the reference's exporters make. A crash between the
+    *      renames strands the data in `.compact_old_*`; every compact()
+    *      run begins with a recovery sweep that renames strays back (or
+    *      deletes them when the publish already happened) and clears
+    *      leftover tmp dirs, so the store self-heals on the next pass.
+    *
+    * The rewrite read uses mergeSchema: the store's own read() merges
+    * footers (union_by_name), so one partition may legitimately hold
+    * files with different column sets — sampling a single footer would
+    * silently drop the missing columns from every rewritten row.
     *
     * Returns (doc_type, date, files_before, files_after) per compacted
     * partition. The driver loop is over the PARTITION LIST (metadata
@@ -180,6 +193,7 @@ object EventStore {
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
     val hadoopConf = spark.sessionState.newHadoopConf()
+    recoverCompact(new org.apache.hadoop.fs.Path(path), hadoopConf)
     parts.toSeq
       .filter { case (_, _, n, bytes) =>
         n > maxFilesPerPartition ||
@@ -189,10 +203,13 @@ object EventStore {
         val dir = new org.apache.hadoop.fs.Path(
           s"$path/doc_type=$dt/date=$date")
         val fs = dir.getFileSystem(hadoopConf)
-        val tmp = dir.suffix(".compact_tmp")
-        val old = dir.suffix(".compact_old")
+        // '.'-prefixed siblings: invisible to partition discovery, so a
+        // concurrent read never sees doubled rows or a partition value
+        // like "2026-01-01.compact_tmp" that breaks date-type inference.
+        val tmp = new org.apache.hadoop.fs.Path(dir.getParent, s".compact_tmp_${dir.getName}")
+        val old = new org.apache.hadoop.fs.Path(dir.getParent, s".compact_old_${dir.getName}")
         val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-        spark.read.parquet(dir.toString)
+        spark.read.option("mergeSchema", "true").parquet(dir.toString)
           .coalesce(nOut)
           .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
         require(fs.rename(dir, old), s"compact: could not move $dir aside")
@@ -200,6 +217,34 @@ object EventStore {
         fs.delete(old, true)
         (dt, date, n, nOut)
       }
+  }
+
+  /** Heal partitions stranded by a compact() crash. For every
+    * `.compact_old_<part>` dir: if `<part>` is back in place the publish
+    * finished and only the delete was lost — drop the stray; otherwise the
+    * crash hit between the two renames — rename the original back.
+    * Leftover `.compact_tmp_*` dirs are always incomplete output (a
+    * completed publish renames them away) and are deleted.
+    */
+  private def recoverCompact(root: org.apache.hadoop.fs.Path,
+      hadoopConf: org.apache.hadoop.conf.Configuration): Unit = {
+    val fs = root.getFileSystem(hadoopConf)
+    if (!fs.exists(root)) return
+    for {
+      docType <- fs.listStatus(root).toSeq if docType.isDirectory
+      child <- fs.listStatus(docType.getPath).toSeq if child.isDirectory
+      name = child.getPath.getName
+    } {
+      if (name.startsWith(".compact_old_")) {
+        val dest = new org.apache.hadoop.fs.Path(
+          docType.getPath, name.stripPrefix(".compact_old_"))
+        if (fs.exists(dest)) fs.delete(child.getPath, true)
+        else require(fs.rename(child.getPath, dest),
+          s"compact recovery: could not restore ${child.getPath} to $dest")
+      } else if (name.startsWith(".compact_tmp_")) {
+        fs.delete(child.getPath, true)
+      }
+    }
   }
 
   /** Parse the nested complete_game documents out of raw_json (F3). */

@@ -71,10 +71,12 @@ object IntegrityMonitor {
     var s = state.getOption.getOrElse(
       IntegrityState(triggered = false, 0, 0, -1, 0L))
     val out = scala.collection.mutable.ArrayBuffer.empty[IntegritySignal]
+    // Always emits: the contract is a row for every issue record, so a
+    // gap/bad-game/lost-connection arriving while ALREADY triggered still
+    // produces its issue row (only the triggered flag stops changing).
     def trigger(e: FeedEvent, issue: String): Unit = {
-      val was = s.triggered
       s = s.copy(triggered = true)
-      if (!was) out += IntegritySignal(sessionId, e.ts, issue,
+      out += IntegritySignal(sessionId, e.ts, issue,
         triggered = true, s.tickGaps, s.badGames)
     }
     events.toSeq.sortBy(_.ts.getTime).foreach { e =>
@@ -189,8 +191,12 @@ object IntegrityMonitor {
       }
     events.toSeq.sortBy(_.ts.getTime).foreach { e =>
       val ms = e.ts.getTime
-      // event-time check_recovery before processing the new event
-      if (s.mode != Normal && s.mode != Offline && s.lastIssueMs != Long.MinValue &&
+      // event-time check_recovery before processing the new event. Runs
+      // in NORMAL too: the counters are windowed ("errors_in_window"), so
+      // a quiet recovery window must clear them even when no mode change
+      // results — otherwise isolated errors hours apart accumulate until
+      // they falsely trip DEGRADED. Offline stays sticky (reconnect only).
+      if (s.mode != Offline && s.lastIssueMs != Long.MinValue &&
           ms - s.lastIssueMs >= recoveryWindowMs) {
         s = s.copy(errors = 0, spikes = 0)
         setMode(e.ts, Normal)

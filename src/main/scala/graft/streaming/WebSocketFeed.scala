@@ -78,8 +78,11 @@ object WebSocketFeed {
     * grammar expects whole frames.
     */
   object JdkWebSocketTransport extends FrameTransport {
+    // One client for every connection attempt: each HttpClient owns a
+    // selector-manager thread that lives until the client is GC'd, so a
+    // per-attempt client leaks a thread on every reconnect cycle.
+    private lazy val client = HttpClient.newHttpClient()
     override def connect(uri: URI, listener: FrameListener): AutoCloseable = {
-      val client = HttpClient.newHttpClient()
       val partial = new java.lang.StringBuilder
       val wsListener = new java.net.http.WebSocket.Listener {
         override def onOpen(ws: java.net.http.WebSocket): Unit = {
@@ -113,12 +116,17 @@ object WebSocketFeed {
   /** Feed statistics (the reference's `metrics` dict, websocket_feed.py:108). */
   final case class Stats(received: Long, spooled: Long, rateLimited: Long,
       criticalBypass: Long, reconnects: Long)
+
+  /** Disambiguates feeds constructed in the same process+millisecond. */
+  private val feedSeq = new AtomicLong
 }
 
 /** Supervised feed: connect → spool message frames → reconnect with
   * exponential backoff on close/error, up to `maxAttempts` consecutive
   * failures (reset by any successful frame). Frames land in
-  * `spoolDir/frames-<conn>-<roll>.txt`, written as `.tmp` and atomically
+  * `spoolDir/frames-<pid>-<startMs>-<conn>-<roll>.txt` (the pid/start tag
+  * keeps restarts and parallel feed processes from colliding on a shared
+  * spool), written as `.tmp` and atomically
   * renamed every `rollEvery` frames (and on connection close) — Spark's
   * file stream source lists only completed files, so a reader never sees a
   * half-written batch. `rollEvery` mirrors the reference writer's
@@ -152,6 +160,14 @@ final class WebSocketFeed(
   private val connEpoch = new AtomicLong
   @volatile private var thread: Thread = _
 
+  // Process-unique spool prefix: connEpoch/rollSeq restart at 0 in every
+  // feed instance, so without this a restarted feed (or a second process
+  // fanning into the same spoolDir) would ATOMIC_MOVE over an earlier
+  // run's files — and FileStreamSource tracks seen files by PATH, so the
+  // replaced content would never be read. Silent bronze-log loss.
+  private val feedTag =
+    f"${ProcessHandle.current.pid}%x-${System.currentTimeMillis}%x-${WebSocketFeed.feedSeq.getAndIncrement()}%x"
+
   Files.createDirectories(spoolDir)
 
   def stats: Stats = Stats(received.get, spooled.get, rateLimited.get,
@@ -172,7 +188,7 @@ final class WebSocketFeed(
   /** Atomically publish buffered frames as one spool file. */
   def flush(): Unit = synchronized {
     if (pendingCount > 0) {
-      val name = f"frames-${connEpoch.get}%05d-$rollSeq%06d.txt"
+      val name = f"frames-$feedTag-${connEpoch.get}%05d-$rollSeq%06d.txt"
       rollSeq += 1
       val tmp = spoolDir.resolve(s".$name.tmp")
       Files.write(tmp, pending.toString.getBytes(StandardCharsets.UTF_8))

@@ -464,8 +464,17 @@ object TextQueries {
   // split (no largest-remainder tie politics in the oracle compare).
   // Scale shape: one map-side-combinable groupBy to #sources rows; the
   // normalization is over that tiny relation.
+  //
+  // Both engines compute pow/sum in their own operand order, so the two
+  // doubles can differ by ulps; a floor()/round() boundary sitting exactly
+  // on the true value (ratio 1.0 for a single source, simple rational
+  // coincidences) would then flip by 1 between engines — the q54 drift
+  // class. MixEps (identical in the Spark plan and the generated SQL)
+  // moves each discontinuity off those natural attractors to an artificial
+  // point no true value lands on, so ulp-level drift can't straddle it.
   val MixAlpha = 0.5
   val MixDocBudget = 10000L
+  val MixEps = 1e-9
   val q62SourceMixing: Q = (s, d) => {
     val bySource = Tables.documents(s, d)
       .groupBy("source")
@@ -475,10 +484,10 @@ object TextQueries {
       sum(pow(col("n_tokens").cast("double"), MixAlpha))).head().getDouble(0)
     bySource
       .withColumn("weight",
-        round(pow(col("n_tokens").cast("double"), MixAlpha) / total, 6))
+        round(pow(col("n_tokens").cast("double"), MixAlpha) / total + MixEps, 6))
       .withColumn("doc_budget",
-        floor(pow(col("n_tokens").cast("double"), MixAlpha) / total * MixDocBudget)
-          .cast("long"))
+        floor(pow(col("n_tokens").cast("double"), MixAlpha) / total * MixDocBudget
+          + lit(MixEps * MixDocBudget)).cast("long"))
       .select("source", "n_docs", "n_tokens", "weight", "doc_budget")
       .orderBy("source")
   }
@@ -489,9 +498,9 @@ object TextQueries {
        |  FROM documents GROUP BY source),
        |tot AS (SELECT sum(pow(n_tokens, $MixAlpha)) AS t FROM by_source)
        |SELECT source, n_docs, n_tokens,
-       |  round(pow(n_tokens, $MixAlpha) / t, 6) AS weight,
-       |  CAST(floor(pow(n_tokens, $MixAlpha) / t * $MixDocBudget) AS BIGINT)
-       |    AS doc_budget
+       |  round(pow(n_tokens, $MixAlpha) / t + $MixEps, 6) AS weight,
+       |  CAST(floor(pow(n_tokens, $MixAlpha) / t * $MixDocBudget
+       |    + ${MixEps * MixDocBudget}) AS BIGINT) AS doc_budget
        |FROM by_source, tot ORDER BY source""".stripMargin
 
   val queries: Map[String, Q] = Map(

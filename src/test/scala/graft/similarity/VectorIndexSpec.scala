@@ -85,4 +85,30 @@ class VectorIndexSpec extends SparkSpec {
     val hit3 = VectorIndex.search(spark, index, "alpha bravo charlie delta").head()
     assert(hit3.getAs[Double]("cosine") === 1.0)
   }
+
+  test("legacy index without idf sidecar: increments stay in the unweighted space") {
+    val store = java.nio.file.Files.createTempDirectory("graft-vstore2").toString
+    val index = java.nio.file.Files.createTempDirectory("graft-vindex2").toString + "/idx"
+    mkStore(store, Seq(
+      ("s1", 0L, "2024-01-01T00:00:00", "alpha bravo charlie delta")))
+    // replicate what a pre-sidecar build wrote: unweighted vectors, no _idf.csv
+    VectorIndex.embed(
+        graft.store.Indexer.incrementalChunks(spark, store, "", chunkSize = 1))
+      .withColumn("cell", graft.functions.RandomHyperplaneSignature
+        .rh_signature(spark, "embedding", VectorIndex.CellBits))
+      .write.mode("append").partitionBy("cell").parquet(index)
+    assert(VectorIndex.loadIdf(spark, index).isEmpty)
+    // an increment must NOT derive idf from just its own batch — that would
+    // embed new vectors in a different geometry than every existing one
+    mkStore(store, Seq(("s2", 0L, "2024-01-01T00:00:05", "echo foxtrot golf hotel")))
+    VectorIndex.build(spark, store, index,
+      sinceTs = "2024-01-01T00:00:00", chunkSize = 1)
+    assert(VectorIndex.loadIdf(spark, index).isEmpty,
+      "no sidecar may appear on a pre-sidecar index")
+    // both generations score exact self-queries at 1.0 => one shared space
+    assert(VectorIndex.search(spark, index, "alpha bravo charlie delta")
+      .head().getAs[Double]("cosine") === 1.0)
+    assert(VectorIndex.search(spark, index, "echo foxtrot golf hotel")
+      .head().getAs[Double]("cosine") === 1.0)
+  }
 }

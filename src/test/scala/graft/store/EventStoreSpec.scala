@@ -146,6 +146,61 @@ class EventStoreSpec extends SparkSpec {
     assert(EventStore.compact(spark, dir, targetFileBytes = 1L << 30,
       maxFilesPerPartition = 1).isEmpty)
   }
+
+  test("compact recovery heals a crash between the publish renames") {
+    val dir = Files.createTempDirectory("graft-compact-recover").toString
+    EventStore.write(Fixture.envelopes(spark), dir, SaveMode.Overwrite)
+    val before = EventStore.read(spark, dir).orderBy("seq", "doc_type")
+      .collect().toSeq
+    val base = new java.io.File(s"$dir/doc_type=game_tick")
+    val part = base.listFiles.filter(_.isDirectory).head
+    val partName = part.getName
+    // simulate the crash window: original moved aside, half-written tmp left
+    val old = new java.io.File(base, s".compact_old_$partName")
+    assert(part.renameTo(old))
+    val tmp = new java.io.File(base, s".compact_tmp_$partName")
+    assert(tmp.mkdir())
+    // the stray dirs are dot-prefixed: a concurrent reader sees the
+    // partition missing, never doubled or with a broken date value
+    assert(EventStore.read(spark, dir).count() < before.size)
+    // any later compact() run begins with the recovery sweep
+    EventStore.compact(spark, dir)
+    assert(new java.io.File(base, partName).isDirectory, "partition restored")
+    assert(!old.exists && !tmp.exists, "strays cleaned up")
+    val after = EventStore.read(spark, dir).orderBy("seq", "doc_type")
+      .collect().toSeq
+    assert(after === before, "no rows lost across crash + recovery")
+    // publish-finished variant: both the partition and a stale old copy
+    // exist -> recovery drops the stray, keeps the live partition
+    assert(tmp.mkdir())
+    val old2 = new java.io.File(base, s".compact_old_$partName")
+    assert(old2.mkdir())
+    EventStore.compact(spark, dir)
+    assert(new java.io.File(base, partName).isDirectory && !old2.exists && !tmp.exists)
+    assert(EventStore.read(spark, dir).count() === before.size)
+  }
+
+  test("compact preserves columns present in only some files (mergeSchema)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-compact-schema").toString
+    val part = s"$dir/doc_type=mixed/date=2026-01-01"
+    // one partition, two files, different column sets — legal in this
+    // store because read() merges footers (union_by_name)
+    Seq(("a", 1L)).toDF("session_id", "seq")
+      .coalesce(1).write.mode("append").parquet(part)
+    Seq(("b", 2L, "x")).toDF("session_id", "seq", "extra")
+      .coalesce(1).write.mode("append").parquet(part)
+    val done = EventStore.compact(spark, dir, targetFileBytes = 1L << 30,
+      maxFilesPerPartition = 1)
+    assert(done.map(d => (d._1, d._4)) === Seq(("mixed", 1)))
+    val back = spark.read.option("mergeSchema", "true").parquet(part)
+    assert(back.columns.toSet === Set("session_id", "seq", "extra"),
+      "a column present in only one input file must survive the rewrite")
+    assert(back.count() === 2)
+    assert(back.where(col("extra") === "x").count() === 1)
+    assert(back.where(col("session_id") === "a").head().isNullAt(
+      back.columns.indexOf("extra")))
+  }
 }
 
 /** Canonical mini-dataset builder (FIXTURES.md §1). */

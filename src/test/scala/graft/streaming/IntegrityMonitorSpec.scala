@@ -115,6 +115,33 @@ class IntegrityMonitorSpec extends SparkSpec {
     assert(modes.last.errors_in_window === 0, "recovery clears counters")
   }
 
+  test("issue rows keep flowing while already triggered") {
+    val events = Seq(
+      fe(1, "game_start", "g1"),
+      fe(2, "tick", tick = 0),
+      fe(3, "tick", tick = 4), // gap 3 -> trigger (threshold 3)
+      fe(4, "tick", tick = 8), // gap 3 while triggered -> still an issue row
+      fe(5, "game_end", "g1", clean = false), // bad game while triggered too
+      fe(6, "game_start", "g2"),
+      fe(7, "game_end", "g2", clean = true)) // recover
+      .toDS()
+    val sig = IntegrityMonitor.monitor(events, ThresholdTicks, 3)
+      .collect().sortBy(_.ts.getTime)
+    assert(sig.map(_.issue).toSeq ===
+      Seq("tick_gap", "tick_gap", "abnormal_game_end", "recovered"))
+    assert(sig.map(_.triggered).toSeq === Seq(true, true, true, false))
+    assert(sig(1).consecutive_tick_gaps === 6)
+  }
+
+  test("isolated errors separated by quiet windows never accumulate to DEGRADED") {
+    // one error every 70 s (> the 60 s recovery window), errorThreshold of
+    // them: the windowed counter must clear during each quiet gap even
+    // though the mode never left NORMAL
+    val events = (0L until 10L).map(i => he(1 + i * 70, "error")).toDS()
+    assert(IntegrityMonitor.degradation(events, errorThreshold = 10,
+      spikeThreshold = 5, recoveryWindowMs = 60000).count() === 0)
+  }
+
   test("recovery is event-time: replaying the same events reproduces modes") {
     val events = Seq(he(1, "error"), he(2, "error"), he(100, "heartbeat")).toDS()
     def run() = IntegrityMonitor.degradation(events, errorThreshold = 2,

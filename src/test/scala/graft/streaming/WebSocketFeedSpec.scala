@@ -122,6 +122,28 @@ class WebSocketFeedSpec extends SparkSpec {
     assert(feed.stats.spooled === 2) // both healthy sessions' frames
   }
 
+  test("a restarted feed never overwrites an earlier run's spool files") {
+    // conn/roll counters restart at 0 in every instance; the per-instance
+    // tag must keep the ATOMIC_MOVE from replacing run 1's file (the file
+    // stream source tracks seen paths, so replaced content is lost twice)
+    val spool = tmpSpool()
+    def runOnce(msg: String): Unit = {
+      val transport = new FakeTransport(l => {
+        l.onText(s"""42["e",{"m":"$msg"}]""")
+        l.onClose(1000, "bye")
+      })
+      val feed = new WebSocketFeed(new URI("ws://fake"), spool, transport,
+        maxAttempts = 1, sleeper = _ => ())
+      feed.start()
+      eventually(!feed.isRunning)
+      feed.close()
+    }
+    runOnce("first"); runOnce("second")
+    val lines = spoolLines(spool)
+    assert(lines.size === 2, s"expected both runs' frames, got $lines")
+    assert(lines.exists(_.contains("first")) && lines.exists(_.contains("second")))
+  }
+
   test("spool rolls atomically and the parsed stream reads it") {
     val spool = tmpSpool()
     val transport = new FakeTransport(l => {
