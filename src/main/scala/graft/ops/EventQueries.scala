@@ -156,13 +156,105 @@ object EventQueries {
     """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type, count(*) AS n
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q67 — as-of join (the trades-vs-quotes classic; the builder mandate
+  // names it as an operator Spark lacks natively): each `purchase` event
+  // picks the SAME USER's latest `view` event at-or-before its timestamp.
+  // Implemented as the scalable sorted-merge pattern, not a correlated
+  // subquery: tag both streams, union, ONE shuffle on the key, and a
+  // single partition-local ordered pass carrying the last quote forward
+  // (`last(_, ignoreNulls)` over rows-unbounded-preceding). On equal ts
+  // the quote sorts before the trade (side 0 < 1) — exactly the <=
+  // semantics of DuckDB's native ASOF LEFT JOIN, which is the oracle.
+  // At 100 TB this is the plan you want: no per-trade probe, no range
+  // blow-up, both inputs shuffle once by user and merge in sort order.
+  // (user_id, ts) is unique in the table, so the match is deterministic.
+  private val QuoteStruct =
+    "struct<quote_id:bigint,quote_ts:timestamp,quote_value:double>"
+  val q67AsofJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val quotes = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), lit(0).as("side"),
+        lit(null).cast("bigint").as("trade_id"),
+        struct(col("event_id").as("quote_id"), col("ts").as("quote_ts"),
+          col("value").as("quote_value")).as("q"))
+    val trades = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("side"),
+        col("event_id").as("trade_id"),
+        lit(null).cast(QuoteStruct).as("q"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "side")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    quotes.unionByName(trades)
+      .withColumn("qc", last(col("q"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("trade_id"), col("user_id"), col("ts").as("trade_ts"),
+        col("qc.quote_id").as("quote_id"), col("qc.quote_ts").as("quote_ts"),
+        col("qc.quote_value").as("quote_value"))
+      .orderBy("trade_id")
+  }
+  val q67Sql: String =
+    """WITH trades AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |quotes AS (
+      |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view')
+      |SELECT t.event_id AS trade_id, t.user_id, t.ts AS trade_ts,
+      |  q.event_id AS quote_id, q.ts AS quote_ts, q.value AS quote_value
+      |FROM trades t ASOF LEFT JOIN quotes q
+      |  ON t.user_id = q.user_id AND q.ts <= t.ts
+      |ORDER BY trade_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q68 — OHLC time-bar downsampling (tick series → hourly candles; the
+  // reference's candleflip/price-tick domain distilled to its storage
+  // form): per (event_type, hour) the first/max/min/last value. open and
+  // close are single-pass min_by/max_by on a (ts, event_id) struct order —
+  // NOT a rank window: the aggregate is map-side combinable, so at 100 TB
+  // each partition reduces to one row per (type, hour) before the
+  // shuffle, where a row_number window would shuffle every tick.
+  val q68OhlcBars: Q = (s, d) => {
+    val ord = struct(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(
+        min_by(col("value"), ord).as("open"),
+        max("value").as("high"),
+        min("value").as("low"),
+        max_by(col("value"), ord).as("close"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type", "bucket")
+  }
+  // the oracle orders open/close by the same (ts, event_id) pair; DuckDB's
+  // arg_min only takes a single ordering column, so it uses rank windows —
+  // the Spark side deliberately does NOT (see the plan note above)
+  val q68Sql: String =
+    """WITH b AS (
+      |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+      |    ts, event_id, value
+      |  FROM events),
+      |w AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY event_type, bucket
+      |      ORDER BY ts, event_id) AS rn_a,
+      |    row_number() OVER (PARTITION BY event_type, bucket
+      |      ORDER BY ts DESC, event_id DESC) AS rn_z
+      |  FROM b)
+      |SELECT event_type, bucket,
+      |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+      |  max(value) AS high,
+      |  min(value) AS low,
+      |  max(CASE WHEN rn_z = 1 THEN value END) AS close,
+      |  count(*) AS n_events
+      |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q26_json_extract" -> q26JsonExtract,
     "q27_range_join" -> q27RangeJoin,
     "q28_sessionize" -> q28Sessionize,
     "q29_daily_active" -> q29DailyActive,
     "q30_type_pivot" -> q30TypePivot,
-    "q31_hourly_rate" -> q31HourlyRate)
+    "q31_hourly_rate" -> q31HourlyRate,
+    "q67_asof_join" -> q67AsofJoin,
+    "q68_ohlc_bars" -> q68OhlcBars)
 
   val oracles: Map[String, String] = Map(
     "q26_json_extract" -> q26Sql,
@@ -170,5 +262,7 @@ object EventQueries {
     "q28_sessionize" -> q28Sql,
     "q29_daily_active" -> q29Sql,
     "q30_type_pivot" -> q30Sql,
-    "q31_hourly_rate" -> q31Sql)
+    "q31_hourly_rate" -> q31Sql,
+    "q67_asof_join" -> q67Sql,
+    "q68_ohlc_bars" -> q68Sql)
 }

@@ -253,6 +253,46 @@ object SimilarityQueries {
       .orderBy("doc_id")
 
   // ---------------------------------------------------------------------------
+  // q63 — SimHash-banded near-duplicate pairs: the PAIRING stage q44's
+  // signatures feed (q44 alone computes signatures; this operator completes
+  // the SimHash dedup pipeline the way q43 completes q42's MinHash one).
+  // The 64-bit signature splits into 4 disjoint 16-bit bands; candidate
+  // pairs share at least one band; verification keeps pairs with Hamming
+  // distance <= SimHammingMax via bit_count(xor). With 4 bands, a pair at
+  // Hamming <= 3 flips at most 3 bands, so >= 1 band survives intact —
+  // by pigeonhole the banded candidates contain EVERY pair the verifier
+  // can accept, making the output exactly "all pairs at Hamming <= 3"
+  // (measured on the corpus: true near-dups sit at Hamming 0-6 and the
+  // random-pair noise floor starts at ~7, so the guaranteed-complete bar
+  // is also the discriminating one). At 100 TB only (doc_id, band,
+  // 16-bit band value) rows shuffle; signatures are re-derived scan-side
+  // for the few surviving pairs, like q43's verification joins.
+  val SimHammingMax = 3
+  private val SimBandBits = 16
+  private val SimNumBands = 64 / SimBandBits
+
+  val q63SimhashPairs: Q = (s, d) => {
+    val sigs = Tables.documents(s, d)
+      .withColumn("__toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        graft.functions.SimHash64.simhash64(s, "__toks").as("simhash"))
+    val banded = sigs.select(col("doc_id"),
+      posexplode(array((0 until SimNumBands).map { b =>
+        shiftrightunsigned(col("simhash"), b * SimBandBits)
+          .bitwiseAND(lit((1L << SimBandBits) - 1))
+      }: _*)).as(Seq("band", "band_bits")))
+    val ids = sort_array(collect_list(col("doc_id")))
+    val pairs = bucketPairs(banded.groupBy("band", "band_bits").agg(ids.as("ids")))
+    pairs
+      .join(sigs.select(col("doc_id").as("id_a"), col("simhash").as("sim_a")), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("simhash").as("sim_b")), "id_b")
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= SimHammingMax)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  // ---------------------------------------------------------------------------
   // q47 — exact n-gram Jaccard near-dup ranking: top-20 most similar pairs by
   // exact 3-token-shingle Jaccard over a bounded block (doc_id < 150 — the
   // full-corpus path is q43's LSH). Deterministic: jaccard rounded BEFORE the
@@ -607,8 +647,12 @@ object SimilarityQueries {
       s"($b, ${java.lang.Long.toUnsignedString(1L << b)}::HUGEINT)"
     }.mkString(",\n    ")
 
-  val q44Sql: String =
-    s"""WITH toks AS (
+  /** Shared CTE chain ending in `sig(doc_id, s)` — the 64-bit SimHash as an
+    * UNSIGNED HUGEINT in [0, 2^64). Used by q44 (signatures) and q63
+    * (banded near-dup pairs) so the two oracles cannot drift.
+    */
+  private def simhashSigCte: String =
+    s"""toks AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
        |${hashStages("tk", "toks", Seq("doc_id"), "tok")},
        |hu AS (
@@ -621,8 +665,47 @@ object SimilarityQueries {
        |  FROM hu CROSS JOIN bits GROUP BY doc_id, bit),
        |sig AS (
        |  SELECT doc_id, sum(CASE WHEN v > 0 THEN p2 ELSE 0::HUGEINT END) AS s
-       |  FROM votes GROUP BY doc_id)
+       |  FROM votes GROUP BY doc_id)""".stripMargin
+
+  val q44Sql: String =
+    s"""WITH $simhashSigCte
        |SELECT doc_id, ${toI64("s")} AS simhash FROM sig ORDER BY doc_id""".stripMargin
+
+  // q63: band values from the UNSIGNED signature via HUGEINT div/mod — the
+  // same bit field shiftrightunsigned extracts from the signed Long;
+  // Hamming via bit_count(xor) over the signed BIGINTs (two's-complement
+  // bit pattern is identical). The oracle omits bucketPairs'
+  // degenerate-bucket cap, like q43's (no test bucket is near 10k
+  // members). NOTE: declared in this section, AFTER the U64/I64Min
+  // constants — a val interpolating them from earlier in the file reads
+  // null mid-initialization (caught by tools/check.py: every band came
+  // out 0 and the oracle returned all 124,750 pairs).
+  private def bandDivValuesSql: String =
+    (0 until SimNumBands).map { b =>
+      s"($b, ${BigInt(1) << (b * SimBandBits)}::HUGEINT)"
+    }.mkString(",\n    ")
+
+  val q63Sql: String =
+    s"""WITH $simhashSigCte,
+       |signed AS (
+       |  SELECT doc_id, ${toI64("s")} AS sh FROM sig),
+       |bdiv(b, dv) AS (VALUES
+       |    $bandDivValuesSql),
+       |bands AS (
+       |  SELECT doc_id, b, (s // dv) % ${1L << SimBandBits} AS band_bits
+       |  FROM sig CROSS JOIN bdiv),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bands x JOIN bands y
+       |    ON x.b = y.b AND x.band_bits = y.band_bits AND x.doc_id < y.doc_id),
+       |ver AS (
+       |  SELECT c.id_a, c.id_b,
+       |    CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+       |  FROM cand c
+       |  JOIN signed a ON a.doc_id = c.id_a
+       |  JOIN signed b ON b.doc_id = c.id_b)
+       |SELECT id_a, id_b, hamming FROM ver WHERE hamming <= $SimHammingMax
+       |ORDER BY id_a, id_b""".stripMargin
 
   val q48Sql: String =
     s"""WITH toked AS (
@@ -710,6 +793,7 @@ object SimilarityQueries {
     "q42_minhash_signatures" -> q42MinhashSig,
     "q43_minhash_lsh_pairs" -> q43MinhashPairs,
     "q44_simhash" -> q44Simhash,
+    "q63_simhash_pairs" -> q63SimhashPairs,
     "q47_ngram_jaccard_topk" -> q47NgramJaccard,
     "q48_winnowing_fingerprints" -> q48Winnowing,
     "q49_ivf_ann" -> q49IvfAnn,
@@ -721,6 +805,7 @@ object SimilarityQueries {
     "q42_minhash_signatures" -> q42Sql,
     "q43_minhash_lsh_pairs" -> q43Sql,
     "q44_simhash" -> q44Sql,
+    "q63_simhash_pairs" -> q63Sql,
     "q47_ngram_jaccard_topk" -> q47Sql,
     "q48_winnowing_fingerprints" -> q48Sql,
     "q49_ivf_ann" -> q49Sql,

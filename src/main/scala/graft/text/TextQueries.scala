@@ -503,7 +503,161 @@ object TextQueries {
        |    + ${MixEps * MixDocBudget}) AS BIGINT) AS doc_budget
        |FROM by_source, tot ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q64 — scalable global index assignment (the distributed zipWithIndex
+  // every corpus build needs: contiguous 0-based example ids for shard
+  // files, sample bookkeeping, and resumable iteration). The naive form is
+  // row_number() over one global ordered window — the whole corpus through
+  // a single task. The scale shape is the classic two-phase plan:
+  //   1. shard by contiguous doc_id range (shard width from the catalog
+  //      row count so #shards stays <= IndexTargetShards no matter how the
+  //      corpus grows — NOT a fixed width, which at 100 TB either explodes
+  //      the shard table or degenerates to one shard);
+  //   2. per-shard counts (a groupBy of 8-byte keys — the only full
+  //      shuffle is (shard, 1) pre-aggregated map-side);
+  //   3. exclusive prefix-sum of counts over the TINY shard relation
+  //      (<= IndexTargetShards rows through the one single-partition
+  //      window — bounded by construction, unlike the naive plan);
+  //   4. broadcast offsets back; global_index = shard offset + the
+  //      shard-local row_number (partitioned window, parallel).
+  // Because shards are contiguous doc_id ranges, the result equals the
+  // naive global row_number exactly — the oracle IS the naive form.
+  val IndexTargetShards = 1024L
+  val q64GlobalIndex: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+    val n = Tables.rowCount(s, d, "documents")
+    val k = math.max(1L, math.ceil(n.toDouble / IndexTargetShards).toLong)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), expr(s"doc_id div $k").as("shard"))
+    val counts = docs.groupBy("shard").agg(count(lit(1)).as("c"))
+    val offsets = counts
+      .withColumn("off", coalesce(
+        sum(col("c")).over(w.orderBy("shard")
+          .rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
+      .select("shard", "off")
+    docs.join(broadcast(offsets), "shard")
+      .withColumn("global_index", col("off") +
+        row_number().over(w.partitionBy("shard").orderBy("doc_id")) - 1)
+      .select("doc_id", "shard", "global_index")
+      .orderBy("doc_id")
+  }
+  val q64Sql: String =
+    s"""WITH params AS (
+       |  SELECT greatest(1, CAST(ceil(count(*) / $IndexTargetShards.0) AS BIGINT)) AS k
+       |  FROM documents)
+       |SELECT doc_id, doc_id // (SELECT k FROM params) AS shard,
+       |  row_number() OVER (ORDER BY doc_id) - 1 AS global_index
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q65 — TF-IDF top terms per document (keyword extraction — the salience
+  // signal corpus curation uses for topic balancing and index building):
+  // term frequency per (doc, token), document frequency over the corpus,
+  // score = tf * ln(N / df), top-3 per doc. Scores are rounded to 6dp
+  // BEFORE ranking (the q40 convention) so both engines cut identically;
+  // ties break on token ASC. N comes from the parquet footer
+  // (Tables.rowCount) — the catalog statistic, not a count() action.
+  // Scale shape: the (doc_id, token) shuffle is inherent to tf; df is a
+  // vocabulary-sized relation joined on token (map-side combinable both
+  // times). ln() is libm on both engines — a 1-ulp divergence landing
+  // exactly on a 5e-7 rounding boundary is the accepted q51-class risk.
+  val TfIdfTopK = 3
+  val q65TfIdf: Q = (s, d) => {
+    val n = Tables.rowCount(s, d, "documents")
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("score"), asc("token"))
+    tf.join(df, "token")
+      .withColumn("score",
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TfIdfTopK)
+      .select("doc_id", "rank", "token", "score")
+      .orderBy("doc_id", "rank")
+  }
+  val q65Sql: String =
+    s"""WITH tfc AS (
+       |  SELECT doc_id, token, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |        FROM documents)
+       |  GROUP BY doc_id, token),
+       |dfc AS (SELECT token, count(*) AS df FROM tfc GROUP BY token),
+       |tot AS (SELECT count(*) AS n FROM documents),
+       |scored AS (
+       |  SELECT doc_id, token,
+       |    round(tf * ln(CAST((SELECT n FROM tot) AS DOUBLE) / df), 6) AS score
+       |  FROM tfc JOIN dfc USING (token)),
+       |ranked AS (
+       |  SELECT doc_id, token, score,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, token ASC) AS rank
+       |  FROM scored)
+       |SELECT doc_id, rank, token, score FROM ranked WHERE rank <= $TfIdfTopK
+       |ORDER BY doc_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q66 — per-source token-distribution KL divergence vs the corpus (the
+  // data-mixing diagnostic behind q62's weights: a source whose unigram
+  // distribution sits far from the corpus mean is distinctive — upweight
+  // or quarantine — while KL ~ 0 means redundant mass):
+  //   KL(source || corpus) = sum_t p_st * ln(p_st / p_t).
+  // Numerical determinism: a SUM of doubles is order-dependent, and Spark
+  // partial aggregation makes the order nondeterministic run-to-run — the
+  // one aggregate shape that can never hash-match an oracle. Each term is
+  // therefore rounded to 12dp and summed as DECIMAL(28,12): integer-scaled
+  // addition is exact and order-free, so both engines produce the same sum
+  // no matter how they parallelize. The final report rounds to 6dp.
+  val q66SourceKl: Q = (s, d) => {
+    val st = Tables.documents(s, d)
+      .select(col("source"), explode(toks).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+    val sTot = st.groupBy("source")
+      .agg(sum("c").as("s_total"), count(lit(1)).as("vocab"))
+    val tTot = st.groupBy("token").agg(sum("c").as("t_c"))
+    val totalDf = sTot.agg(sum(col("s_total")).as("total"))
+    val pSt = col("c").cast("double") / col("s_total").cast("double")
+    val pT = col("t_c").cast("double") / col("total").cast("double")
+    st.join(broadcast(sTot), "source")
+      .join(tTot, "token")
+      .crossJoin(broadcast(totalDf))
+      .select(col("source"), col("s_total"), col("vocab"),
+        round(pSt * log(pSt / pT), 12).cast("decimal(28,12)").as("term"))
+      .groupBy("source", "s_total", "vocab")
+      .agg(sum(col("term")).as("klsum"))
+      .select(col("source"), col("s_total").as("n_tokens"), col("vocab"),
+        round(col("klsum").cast("double"), 6).as("kl_divergence"))
+      .orderBy("source")
+  }
+  val q66Sql: String =
+    """WITH stc AS (
+      |  SELECT source, token, count(*) AS c
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+      |        FROM documents)
+      |  GROUP BY source, token),
+      |s_tot AS (
+      |  SELECT source, CAST(sum(c) AS BIGINT) AS s_total, count(*) AS vocab
+      |  FROM stc GROUP BY source),
+      |t_tot AS (SELECT token, CAST(sum(c) AS BIGINT) AS t_c FROM stc GROUP BY token),
+      |tot AS (SELECT CAST(sum(s_total) AS BIGINT) AS total FROM s_tot),
+      |terms AS (
+      |  SELECT stc.source, s_total, vocab,
+      |    CAST(round(
+      |      (CAST(c AS DOUBLE) / s_total)
+      |        * ln((CAST(c AS DOUBLE) / s_total)
+      |            / (CAST(t_c AS DOUBLE) / (SELECT total FROM tot))),
+      |      12) AS DECIMAL(28,12)) AS term
+      |  FROM stc JOIN s_tot USING (source) JOIN t_tot USING (token))
+      |SELECT source, s_total AS n_tokens, vocab,
+      |  round(CAST(sum(term) AS DOUBLE), 6) AS kl_divergence
+      |FROM terms GROUP BY source, s_total, vocab ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q64_global_index" -> q64GlobalIndex,
+    "q65_tfidf_topk" -> q65TfIdf,
+    "q66_source_kl" -> q66SourceKl,
     "q59_curation_pipeline" -> q59CurationPipeline,
     "q60_repetition_filter" -> q60RepetitionFilter,
     "q61_source_dup_matrix" -> q61SourceDupMatrix,
@@ -518,6 +672,9 @@ object TextQueries {
     "q37_lang_id" -> q37LangId)
 
   val oracles: Map[String, String] = Map(
+    "q64_global_index" -> q64Sql,
+    "q65_tfidf_topk" -> q65Sql,
+    "q66_source_kl" -> q66Sql,
     "q59_curation_pipeline" -> q59Sql,
     "q60_repetition_filter" -> q60Sql,
     "q61_source_dup_matrix" -> q61Sql,

@@ -100,6 +100,32 @@ class PlanSpec extends SparkSpec {
       "packing must never move the corpus to a single partition:\n" + p.take(1500))
   }
 
+  test("q67: as-of join is one keyed window pass — no per-trade probe join") {
+    val p = plan("q67_asof_join")
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"carry-forward must partition by user:\n${p.take(1500)}")
+    assert(!p.contains("SinglePartition"),
+      "as-of merge must never funnel to one partition:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "as-of must not plan as a range/cross probe")
+  }
+
+  test("q68: OHLC bars partial-aggregate map-side — no rank windows") {
+    val p = plan("q68_ohlc_bars")
+    assert(p.contains("partial_min_by") || p.contains("partial_"),
+      s"open/close must map-side combine:\n${p.take(1500)}")
+    assert(!p.contains("windowspecdefinition"),
+      "ticks must never sort through a rank window:\n" + p.take(1500))
+  }
+
+  test("q64: global index broadcasts shard offsets; doc window is sharded") {
+    val p = plan("q64_global_index")
+    assert(p.contains("windowspecdefinition(shard"),
+      s"row_number must partition by shard:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "offsets must broadcast back, not shuffle the corpus:\n" + p.take(1500))
+  }
+
   test("q53: rug argmax is a partial-aggregated groupBy feeding a broadcast join") {
     val p = plan("q53_sidebet_labels")
     assert(p.contains("partial_max_by") || p.contains("partial_"),

@@ -164,6 +164,40 @@ class SimilaritySpec extends SparkSpec {
     assert(!got.exists { case (a, b) => a <= 2 && b >= 3 && b <= 4 })
   }
 
+  test("q63: banded simhash pairs = ALL pairs at hamming <= max (pigeonhole)") {
+    // 4 disjoint 16-bit bands catch every pair with <= 3 flipped bits (at
+    // most 3 bands touched, >= 1 intact), so q63's output must equal the
+    // brute-force all-pairs set — no recall loss at the guaranteed bar.
+    val rnd = new scala.util.Random(23L)
+    def doc(n: Int): String = (1 to 60).map(_ => s"w${rnd.nextInt(40)}").mkString(" ")
+    // planted near-dup pairs: identical docs + one-token edits
+    val base1 = doc(1); val base2 = doc(2)
+    val docs = (
+      Seq(1L -> base1, 2L -> base1,                    // exact dup: hamming 0
+        3L -> base2, 4L -> (base2 + " extraTok"),      // near dup
+        5L -> base1.replaceFirst("w", "v")) ++         // near dup of 1/2
+        (6L to 60L).map(i => i -> doc(i.toInt))        // noise
+      ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-shp").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SimilarityQueries.q63SimhashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Int]("hamming")).toMap
+    // brute force over the same signatures
+    val sigs = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("__toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        graft.functions.SimHash64.simhash64(spark, "__toks").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= SimilarityQueries.SimHammingMax
+    } yield (ia, ib) -> h).toMap
+    assert(got === brute)
+    assert(got.contains((1L, 2L)) && got((1L, 2L)) === 0) // exact dup planted
+  }
+
   test("cosine top-k: nearest neighbor of a vector is its duplicate") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
