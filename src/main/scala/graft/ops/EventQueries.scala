@@ -246,7 +246,94 @@ object EventQueries {
       |  count(*) AS n_events
       |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q70 — ordered funnel analysis (view → click → purchase): per user, the
+  // first view, the first click strictly after it, the first purchase
+  // strictly after that, and the funnel stage reached. The ORDER matters —
+  // a click before any view does not advance the funnel — which is what
+  // separates this from q30's per-type counts. Shape: one filtered scan +
+  // map-side-combinable min() per stage, each stage joining the previous
+  // stage's per-user relation (tiny vs events; AQE broadcasts it — no
+  // explicit hint because at 10^9 users a forced broadcast would be the
+  // bug). min(ts) per user is unique (per-user ts collisions don't exist,
+  // and min is deterministic regardless).
+  val q70Funnel: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("view_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("view_ts"))
+      .groupBy("user_id").agg(min("ts").as("click_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("click_ts"))
+      .groupBy("user_id").agg(min("ts").as("purchase_ts"))
+    ev.select("user_id").distinct()
+      .join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .withColumn("stage",
+        when(col("purchase_ts").isNotNull, 3)
+          .when(col("click_ts").isNotNull, 2)
+          .when(col("view_ts").isNotNull, 1)
+          .otherwise(0))
+      .select("user_id", "view_ts", "click_ts", "purchase_ts", "stage")
+      .orderBy("user_id")
+  }
+  val q70Sql: String =
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |v AS (
+      |  SELECT user_id, min(ts) AS view_ts FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS click_ts
+      |  FROM events e JOIN v USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > v.view_ts GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS purchase_ts
+      |  FROM events e JOIN c USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts GROUP BY e.user_id)
+      |SELECT u.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+      |  CASE WHEN p.purchase_ts IS NOT NULL THEN 3
+      |       WHEN c.click_ts IS NOT NULL THEN 2
+      |       WHEN v.view_ts IS NOT NULL THEN 1 ELSE 0 END AS stage
+      |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+      |  LEFT JOIN p USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q71 — retention cohort matrix: users cohorted by their signup week
+  // (ISO week of first `signup` event), counted as retained in each week
+  // they produced ANY event. week_offset is an exact integer (both
+  // timestamps are week-truncated, so the day difference is a multiple of
+  // 7 — `div` is exact, no float date math). Two map-side-combinable
+  // aggregations + one join on user; cohort sizes are recoverable as
+  // week_offset = 0 rows.
+  val q71Retention: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val cohort = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(min(date_trunc("week", col("ts"))).as("cohort_week"))
+    ev.join(cohort, "user_id")
+      .select(col("user_id"), col("cohort_week"),
+        expr("datediff(date_trunc('week', ts), cohort_week) div 7")
+          .as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+  val q71Sql: String =
+    """WITH cohort AS (
+      |  SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id)
+      |SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
+      |  date_diff('day', cohort_week, date_trunc('week', e.ts)) // 7 AS week_offset,
+      |  count(DISTINCT e.user_id) AS n_users
+      |FROM events e JOIN cohort USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q70_funnel" -> q70Funnel,
+    "q71_retention" -> q71Retention,
     "q26_json_extract" -> q26JsonExtract,
     "q27_range_join" -> q27RangeJoin,
     "q28_sessionize" -> q28Sessionize,
@@ -257,6 +344,8 @@ object EventQueries {
     "q68_ohlc_bars" -> q68OhlcBars)
 
   val oracles: Map[String, String] = Map(
+    "q70_funnel" -> q70Sql,
+    "q71_retention" -> q71Sql,
     "q26_json_extract" -> q26Sql,
     "q27_range_join" -> q27Sql,
     "q28_sessionize" -> q28Sql,

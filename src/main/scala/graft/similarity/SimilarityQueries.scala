@@ -453,6 +453,99 @@ object SimilarityQueries {
        |ORDER BY qid, rank""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // q69 — k-means clustering over embeddings (Lloyd's algorithm, the
+  // SemDeDup-style semantic primitive: cluster the corpus's embedding
+  // space, then dedup/diversity-sample WITHIN clusters so the quadratic
+  // work never crosses cluster boundaries). Deterministic by construction:
+  // centroids init from the first K vectors (q49's codebook convention),
+  // KmIters unrolled Lloyd updates, then a final assignment — all one
+  // declarative plan, no driver-side collect of centroids.
+  //   - assignment: squared L2 via an in-order higher-order fold, rounded
+  //     6dp BEFORE the argmin (ties break on cid) so both engines pick
+  //     identical cells;
+  //   - update: per-(cluster, dim) mean with the q66 decimal trick — each
+  //     element rounded 12dp and summed as DECIMAL(28,12), so the float
+  //     sum is order-free and the new centroid is the same double in both
+  //     engines no matter the parallelism.
+  // Scale shape: centroids are a K-row relation that BROADCASTS each
+  // round; vectors never shuffle for assignment, and the update is one
+  // map-side-combinable groupBy of (cid, dim, element) rows per round.
+  val KmK = 8
+  val KmIters = 2
+
+  private def l2sq(a: Column, b: Column): Column =
+    round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, e) => acc + e), 6)
+
+  val q69Kmeans: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    def assign(cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id").orderBy("dist2", "cid")
+      emb.join(broadcast(cents))
+        .withColumn("dist2", l2sq(col("v"), col("cv")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("cid"), col("dist2"), col("v"))
+    }
+    def update(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cid", "dim")
+        .agg((sum(round(col("x"), 12).cast("decimal(28,12)")).cast("double")
+          / count(lit(1))).as("m"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          e => e("m")).as("cv"))
+    var cents = emb.filter(col("vec_id") < KmK)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
+    for (_ <- 1 to KmIters) cents = update(assign(cents))
+    assign(cents)
+      .select(col("vec_id"), col("cid").as("cluster"), col("dist2"))
+      .orderBy("vec_id")
+  }
+
+  // Oracle: the same unrolled iterations, generated per round so the CTE
+  // chain cannot drift from KmIters/KmK.
+  private def kmAssignCte(i: Int, cents: String): String =
+    s"""sc$i AS (
+       |  SELECT e.vec_id, e.v, c.cid,
+       |    round((SELECT sum((z.a - z.b) * (z.a - z.b))
+       |           FROM (SELECT unnest(e.v) AS a, unnest(c.cv) AS b) z), 6) AS dist2
+       |  FROM embd e CROSS JOIN $cents c),
+       |a$i AS (
+       |  SELECT vec_id, v, cid, dist2 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist2, cid) AS rk FROM sc$i)
+       |  WHERE rk = 1)""".stripMargin
+  private def kmUpdateCte(i: Int): String =
+    s"""dx$i AS (
+       |  SELECT cid, unnest(range(len(v))) AS d, v FROM a$i),
+       |dm$i AS (
+       |  SELECT cid, d,
+       |    CAST(sum(CAST(round(v[d + 1], 12) AS DECIMAL(28,12))) AS DOUBLE)
+       |      / count(*) AS m
+       |  FROM dx$i GROUP BY cid, d),
+       |c$i AS (SELECT cid, list(m ORDER BY d) AS cv FROM dm$i GROUP BY cid)""".stripMargin
+
+  val q69Sql: String = {
+    val rounds = (1 to KmIters)
+      .map(i => kmAssignCte(i, if (i == 1) "c0" else s"c${i - 1}") + ",\n" +
+        kmUpdateCte(i))
+      .mkString(",\n")
+    s"""WITH embd AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv FROM embd
+       |  WHERE vec_id < $KmK),
+       |$rounds,
+       |${kmAssignCte(KmIters + 1, s"c$KmIters")}
+       |SELECT vec_id, cid AS cluster, dist2 FROM a${KmIters + 1}
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------------
   // q51 — random-hyperplane LSH for embedding cosine (the cosine analog of
   // q43's MinHash banding — the SCALE path where q41's bounded brute force
   // can't go): a 32-plane sign signature computed in one pass inside the
@@ -797,7 +890,8 @@ object SimilarityQueries {
     "q47_ngram_jaccard_topk" -> q47NgramJaccard,
     "q48_winnowing_fingerprints" -> q48Winnowing,
     "q49_ivf_ann" -> q49IvfAnn,
-    "q51_rh_lsh_pairs" -> q51RhLshPairs)
+    "q51_rh_lsh_pairs" -> q51RhLshPairs,
+    "q69_kmeans" -> q69Kmeans)
 
   val oracles: Map[String, String] = Map(
     "q40_cosine_topk" -> q40Sql,
@@ -809,5 +903,6 @@ object SimilarityQueries {
     "q47_ngram_jaccard_topk" -> q47Sql,
     "q48_winnowing_fingerprints" -> q48Sql,
     "q49_ivf_ann" -> q49Sql,
-    "q51_rh_lsh_pairs" -> q51Sql)
+    "q51_rh_lsh_pairs" -> q51Sql,
+    "q69_kmeans" -> q69Sql)
 }

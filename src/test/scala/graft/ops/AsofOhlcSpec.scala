@@ -37,6 +37,48 @@ class AsofOhlcSpec extends SparkSpec {
     assert(got(5L) === None)     // left join: no prior quote -> NULL row kept
   }
 
+  test("q70 funnel: order matters — a click before any view does not advance") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel").toString
+    events(dir,
+      // user 1 completes in order: view < click < purchase -> stage 3
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 10:01:00", 1L, "click", 0.0),
+      (3L, "2024-01-01 10:02:00", 1L, "purchase", 0.0),
+      // user 2: click BEFORE its only view -> stuck at stage 1
+      (4L, "2024-01-01 10:00:00", 2L, "click", 0.0),
+      (5L, "2024-01-01 10:01:00", 2L, "view", 0.0),
+      // user 3: purchase before click (click after view, purchase first) -> 2
+      (6L, "2024-01-01 10:00:00", 3L, "view", 0.0),
+      (7L, "2024-01-01 10:00:30", 3L, "purchase", 0.0),
+      (8L, "2024-01-01 10:01:00", 3L, "click", 0.0),
+      // user 4: never viewed -> stage 0
+      (9L, "2024-01-01 10:00:00", 4L, "error", 0.0))
+    val got = EventQueries.q70Funnel(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("stage")).toMap
+    assert(got === Map(1L -> 3, 2L -> 1, 3L -> 2, 4L -> 0))
+  }
+
+  test("q71 retention: cohort by signup week, offsets count distinct users") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ret").toString
+    events(dir,
+      // user 1 signs up Mon 2024-01-01 week, active that week and +2 weeks
+      (1L, "2024-01-02 10:00:00", 1L, "signup", 0.0),
+      (2L, "2024-01-03 10:00:00", 1L, "click", 0.0),
+      (3L, "2024-01-16 10:00:00", 1L, "view", 0.0),
+      // user 2 same cohort week, only active in week 0
+      (4L, "2024-01-05 10:00:00", 2L, "signup", 0.0),
+      // user 3 later cohort
+      (5L, "2024-01-10 10:00:00", 3L, "signup", 0.0))
+    val got = EventQueries.q71Retention(spark, dir).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("cohort_week").toString.take(10),
+        r.getAs[Long]("week_offset")) -> r.getAs[Long]("n_users")).toMap
+    // week of 2024-01-01 is the Monday itself; 2024-01-10 -> week of 01-08
+    assert(got(("2024-01-01", 0L)) === 2L) // users 1+2 active in cohort week
+    assert(got(("2024-01-01", 2L)) === 1L) // user 1 returns two weeks later
+    assert(got(("2024-01-08", 0L)) === 1L)
+    assert(!got.keySet.exists(_._2 < 0L))  // no pre-signup activity planted
+  }
+
   test("q68 ohlc: open/close by (ts, event_id) order; high/low over the bar") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ohlc").toString
     events(dir,

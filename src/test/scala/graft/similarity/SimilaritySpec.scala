@@ -198,6 +198,43 @@ class SimilaritySpec extends SparkSpec {
     assert(got.contains((1L, 2L)) && got((1L, 2L)) === 0) // exact dup planted
   }
 
+  test("q69 kmeans: tight planted clusters separate; duplicates co-assign") {
+    val rnd = new scala.util.Random(31L)
+    def around(center: Array[Float], eps: Float): Array[Float] =
+      center.map(c => c + eps * rnd.nextGaussian().toFloat)
+    // 3 well-separated centers, members within eps << separation; the
+    // first KmK=8 vectors seed the centroids so each center has a seed
+    val c1 = Array.fill(16)(rnd.nextGaussian().toFloat * 5)
+    val c2 = Array.fill(16)(rnd.nextGaussian().toFloat * 5)
+    val c3 = Array.fill(16)(rnd.nextGaussian().toFloat * 5)
+    val vecs: Seq[(Long, Array[Float])] =
+      Seq(0L -> around(c1, 0.01f), 1L -> around(c2, 0.01f),
+        2L -> around(c3, 0.01f)) ++
+        (3L to 7L).map(i => i -> around(c1, 0.01f)) ++   // rest of the seeds
+        (8L to 20L).map(i => i -> around(c1, 0.01f)) ++
+        (21L to 30L).map(i => i -> around(c2, 0.01f)) ++
+        (31L to 40L).map(i => i -> around(c3, 0.01f)) ++
+        Seq(41L -> c2.clone())                            // exact dup of 21's center
+    val dir = java.nio.file.Files.createTempDirectory("graft-km").toString
+    vecs.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SimilarityQueries.q69Kmeans(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Int]("cluster"), r.getAs[Double]("dist2")))
+      .toMap
+    assert(got.size === vecs.size)                  // every vector assigned once
+    assert(got.values.forall(_._2 >= 0.0))
+    assert(got.values.map(_._1).toSet.size <= SimilarityQueries.KmK)
+    // seeds 0,3..7 all sit in cloud 1, so that cloud may split among its
+    // own centroids — the INVARIANT is cross-cloud purity: clouds 2 and 3
+    // each have exactly one seed, collapse to one cluster each, and no
+    // cluster is shared across clouds
+    def cluster(ids: Seq[Long]) = ids.map(got(_)._1).toSet
+    val (k1, k2, k3) = (cluster(8L to 20L), cluster(21L to 30L), cluster(31L to 40L))
+    assert(k2.size === 1 && k3.size === 1)
+    assert((k1 & k2).isEmpty && (k1 & k3).isEmpty && (k2 & k3).isEmpty)
+    assert(got(41L)._1 === k2.head)
+  }
+
   test("cosine top-k: nearest neighbor of a vector is its duplicate") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
