@@ -530,10 +530,16 @@ object TextQueries {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), expr(s"doc_id div $k").as("shard"))
     val counts = docs.groupBy("shard").agg(count(lit(1)).as("c"))
+    // the prefix sum DELIBERATELY runs on one partition — its input is the
+    // <= IndexTargetShards-row counts relation, bounded by construction.
+    // The constant partition key states that intent and keeps the generic
+    // "no partition defined" WARN out of logs, where it would read as the
+    // corpus-sized funnel it is not. pmod(shard, 1), not lit(0): Catalyst
+    // strips foldable partition keys, so a literal is warned away.
     val offsets = counts
       .withColumn("off", coalesce(
-        sum(col("c")).over(w.orderBy("shard")
-          .rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
+        sum(col("c")).over(w.partitionBy(pmod(col("shard"), lit(1L)))
+          .orderBy("shard").rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
       .select("shard", "off")
     docs.join(broadcast(offsets), "shard")
       .withColumn("global_index", col("off") +

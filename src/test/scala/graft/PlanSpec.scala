@@ -126,6 +126,14 @@ class PlanSpec extends SparkSpec {
       "offsets must broadcast back, not shuffle the corpus:\n" + p.take(1500))
   }
 
+  test("q69: kmeans assignment broadcasts centroids — vectors never SMJ") {
+    val p = plan("q69_kmeans")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoop"),
+      s"K-row centroid relation must broadcast each round:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"),
+      "the vector side must not shuffle for assignment:\n" + p.take(1500))
+  }
+
   test("q53: rug argmax is a partial-aggregated groupBy feeding a broadcast join") {
     val p = plan("q53_sidebet_labels")
     assert(p.contains("partial_max_by") || p.contains("partial_"),
