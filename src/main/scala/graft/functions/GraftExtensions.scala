@@ -41,5 +41,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
       exprs => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("l2_sq"),
+      new ExpressionInfo(classOf[L2Distance].getName, "l2_sq"),
+      exprs => L2Distance(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("hash64"),
+      new ExpressionInfo(classOf[Hash64].getName, "hash64"),
+      exprs => Hash64(exprs.head)))
   }
 }

@@ -473,21 +473,30 @@ object SimilarityQueries {
   val KmK = 8
   val KmIters = 2
 
-  private def l2sq(a: Column, b: Column): Column =
-    round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, e) => acc + e), 6)
+  // rounded 6dp BEFORE the argmin; native one-pass expression — the HOF
+  // form (aggregate over zip_with) ran interpreted and was the entire cost
+  // of the assignment stage (~3× the query, measured at sf0.1). Element
+  // order of the adds is identical, so results cannot move.
+  private def l2sq6(s: org.apache.spark.sql.SparkSession,
+      aCol: String, bCol: String): Column =
+    round(graft.functions.L2Distance.l2_sq(s, aCol, bCol), 6)
 
   val q69Kmeans: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-    def assign(cents: DataFrame): DataFrame = {
-      val w = Window.partitionBy("vec_id").orderBy("dist2", "cid")
+    // argmin as a struct-min AGGREGATE, not a rank window: (dist2, cid) is
+    // unique per vector so the lexicographic min picks the same cell the
+    // row_number form would, but the aggregate map-side combines — each
+    // partition reduces its K candidate rows (with the 64-dim payload) to
+    // one per vector BEFORE any exchange, where the window form shuffles
+    // all K copies of every vector
+    def assign(cents: DataFrame): DataFrame =
       emb.join(broadcast(cents))
-        .withColumn("dist2", l2sq(col("v"), col("cv")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("cid"), col("dist2"), col("v"))
-    }
+        .withColumn("dist2", l2sq6(s, "v", "cv"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist2"), col("cid"), col("v"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"),
+          col("m.dist2").as("dist2"), col("m.v").as("v"))
     def update(assigned: DataFrame): DataFrame =
       assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))

@@ -21,6 +21,7 @@ class CodegenSpec extends SparkSpec {
     assert(!classOf[CodegenFallback].isAssignableFrom(classOf[SimHash64]))
     assert(!classOf[CodegenFallback].isAssignableFrom(classOf[RandomHyperplaneSignature]))
     assert(!classOf[CodegenFallback].isAssignableFrom(classOf[CosineSimilarity]))
+    assert(!classOf[CodegenFallback].isAssignableFrom(classOf[L2Distance]))
   }
 
   private def withFactoryMode[A](mode: String)(body: => A): A = {
@@ -40,6 +41,7 @@ class CodegenSpec extends SparkSpec {
     SimHash64.register(spark)
     RandomHyperplaneSignature.register(spark)
     CosineSimilarity.register(spark)
+    L2Distance.register(spark)
     Seq(
       (1L, Seq("a b c", "b c d", "c d e"), Seq(1.0f, 0.0f, 2.0f), Seq(1.0f, 1.0f, 2.0f)),
       (2L, Seq("x y z"), Seq(-1.0f, 3.0f, 0.5f), Seq(0.0f, 0.0f, 0.0f)),
@@ -50,12 +52,14 @@ class CodegenSpec extends SparkSpec {
         "minhash_text(concat_ws(' ', shingles), 8) AS mht",
         "simhash64(shingles) AS sh",
         "rh_signature(vec_a, 16) AS rh",
-        "cosine_similarity(vec_a, vec_b) AS cos")
+        "cosine_similarity(vec_a, vec_b) AS cos",
+        "l2_sq(vec_a, vec_b) AS l2")
       .orderBy("id")
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2),
         r.getLong(3), r.getLong(4),
-        if (r.isNullAt(5)) null else r.getDouble(5)))
+        if (r.isNullAt(5)) null else r.getDouble(5),
+        if (r.isNullAt(6)) null else r.getDouble(6)))
   }
 
   test("generated code compiles and matches interpreted eval") {
@@ -64,5 +68,7 @@ class CodegenSpec extends SparkSpec {
     assert(generated.toSeq === interpreted.toSeq)
     // zero-vector row: cosine must be null on both paths
     assert(generated(1)._6 === null)
+    // l2_sq known vector: (1,0,2) vs (1,1,2) -> 1.0
+    assert(generated(0)._7 === 1.0)
   }
 }
