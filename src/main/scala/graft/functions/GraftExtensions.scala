@@ -49,5 +49,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hash64"),
       new ExpressionInfo(classOf[Hash64].getName, "hash64"),
       exprs => Hash64(exprs.head)))
+    // optimizer: consolidate repeated same-column get_json_object calls
+    // into one json_tuple parse (SURVEY §4's optional rule)
+    ext.injectOptimizerRule(_ => graft.plans.ConsolidateJsonGets)
   }
 }
