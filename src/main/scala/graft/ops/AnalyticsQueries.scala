@@ -355,7 +355,38 @@ object AnalyticsQueries {
       |             ELSE 0.1 END
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q72 — weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+  // a fixed-size sample where inclusion probability tracks a weight —
+  // the "sample 100k docs, long documents proportionally more often" step
+  // of corpus assembly, where q56's rate gate can't hit an exact budget.
+  // priority = u^(1/w) with u the DETERMINISTIC md5 bucket (D9) — not
+  // rand(), so the draw is reproducible, auditable, and join-stable; the
+  // top-k by priority IS a weighted draw without replacement (the A-ES
+  // theorem). Priorities are rounded 6dp BEFORE ranking (the q40/q65
+  // convention: pow is libm on both engines) with doc_id tie-break.
+  // Scale shape: priority is scan-local; top-k plans as
+  // TakeOrderedAndProject (per-partition heaps + one k-row merge — no
+  // global sort of the corpus).
+  val WSampleK = 100
+  val q72WeightedSample: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("priority",
+        round(pow(graft.hashBucket01(col("doc_id")),
+          lit(1.0) / col("n_chars").cast("double")), 6))
+      .orderBy(desc("priority"), asc("doc_id"))
+      .limit(WSampleK)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("priority"))
+  val q72Sql: String =
+    s"""SELECT doc_id, lang, n_chars,
+       |  round(pow(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       |          / 4294967295.0,
+       |        1.0 / CAST(n_chars AS DOUBLE)), 6) AS priority
+       |FROM documents
+       |ORDER BY priority DESC, doc_id ASC LIMIT $WSampleK""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q72_weighted_sample" -> q72WeightedSample,
     "q56_stratified_sample" -> q56StratifiedSample,
     "q45_volatility_metrics" -> q45Volatility,
     "q46_equity_curve" -> q46Equity,
@@ -365,6 +396,7 @@ object AnalyticsQueries {
     "q54_rug_probability" -> q54RugProbability)
 
   val oracles: Map[String, String] = Map(
+    "q72_weighted_sample" -> q72Sql,
     "q56_stratified_sample" -> q56Sql,
     "q45_volatility_metrics" -> q45Sql,
     "q46_equity_curve" -> q46Sql,
