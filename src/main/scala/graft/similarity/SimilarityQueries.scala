@@ -508,7 +508,11 @@ object SimilarityQueries {
           e => e("m")).as("cv"))
     var cents = emb.filter(col("vec_id") < KmK)
       .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
-    for (_ <- 1 to KmIters) cents = update(assign(cents))
+    // localCheckpoint the ≤K-row centroid table per round (DedupClusters'
+    // convention): without it every round's plan embeds the full upstream
+    // plan, so analysis/optimizer cost and lineage depth grow with KmIters —
+    // at real iteration counts that, not the data, becomes the bottleneck
+    for (_ <- 1 to KmIters) cents = update(assign(cents)).localCheckpoint()
     assign(cents)
       .select(col("vec_id"), col("cid").as("cluster"), col("dist2"))
       .orderBy("vec_id")

@@ -134,6 +134,21 @@ class PlanSpec extends SparkSpec {
       "the vector side must not shuffle for assignment:\n" + p.take(1500))
   }
 
+  test("q69: Lloyd rounds checkpoint — final lineage independent of KmIters") {
+    // each round localCheckpoints its ≤K-row centroid table, so the final
+    // assignment plan scans parquet exactly ONCE (its own pass) and sees the
+    // centroids as a checkpointed RDD relation; without the checkpoint the
+    // plan embeds every previous round's scan and grows with KmIters
+    val p = SparkEntry.queries("q69_kmeans")(spark, d)
+      .queryExecution.optimizedPlan.toString
+    val parquetScans = "Relation".r.findAllIn(p).size
+    assert(parquetScans == 1,
+      s"final assign must contain exactly one parquet scan, found $parquetScans:\n" +
+        p.take(1500))
+    assert(p.contains("LogicalRDD") || p.contains("ExistingRDD"),
+      "centroids must enter as a checkpointed RDD relation:\n" + p.take(1500))
+  }
+
   test("q53: rug argmax is a partial-aggregated groupBy feeding a broadcast join") {
     val p = plan("q53_sidebet_labels")
     assert(p.contains("partial_max_by") || p.contains("partial_"),
