@@ -38,6 +38,18 @@ object Tables {
           spark.read.parquet(s"$sfDir/$name.parquet"))
     }
 
+  /** Drop the memoized scans under `sfDir` (all tables, every session) so
+    * the next [[load]] re-lists the directory — the refresh hook a
+    * LONG-LIVED service session needs after new files land in a directory
+    * it has already read (the memo pins the file listing at first read;
+    * single-session batch jobs never notice, a resident service would
+    * otherwise never see post-first-read arrivals). The warehouse analog is
+    * `REFRESH TABLE`.
+    */
+  def invalidate(sfDir: String): Unit = scanCache.synchronized {
+    scanCache.values.forEach(_.filterInPlace { case ((d, _), _) => d != sfDir })
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
