@@ -152,6 +152,44 @@ object VectorIndex {
     } finally chunks.unpersist()
   }
 
+  /** Compact the index's cell partitions. Every incremental [[build]]
+    * appends at least one file per touched cell — the same small-file
+    * accumulation as the 5 s streaming sink, and worse for the index
+    * because SEARCH latency is per-cell file count (a probe opens every
+    * file in its ≤9 probed cells). Reuses the store's listing-stats /
+    * atomic-swap machinery ([[graft.store.Compaction]]): stats from the
+    * `_metadata` hidden columns (listing only, no file opens), recovery
+    * sweep first, then each oversized cell is rewritten and swapped in
+    * behind dot-prefixed work dirs, so a concurrent search sees the old or
+    * the new cell, never both. Returns (cell, files_before, files_after).
+    */
+  def compactCells(spark: SparkSession, indexPath: String,
+      targetFileBytes: Long = 128L << 20,
+      maxFilesPerCell: Int = 8): Seq[(Long, Long, Int)] = {
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    if (!root.getFileSystem(hadoopConf).exists(root)) return Seq.empty
+    graft.store.Compaction.recover(Seq(root), hadoopConf)
+    val cells = spark.read.parquet(indexPath)
+      // partition discovery narrows cell= values to int when they fit
+      .select(col("cell").cast("long").as("cell"),
+        col("_metadata.file_path").as("fp"),
+        col("_metadata.file_size").as("fs"))
+      .groupBy("cell", "fp").agg(first(col("fs")).as("fs"))
+      .groupBy("cell").agg(count(lit(1)).as("n_files"), sum("fs").as("bytes"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    cells.toSeq
+      .filter { case (_, n, bytes) =>
+        graft.store.Compaction.needsWork(n, bytes, targetFileBytes, maxFilesPerCell)
+      }
+      .map { case (cell, n, bytes) =>
+        val dir = new org.apache.hadoop.fs.Path(s"$indexPath/cell=$cell")
+        (cell, n,
+          graft.store.Compaction.swapRewrite(spark, dir, bytes, targetFileBytes))
+      }
+  }
+
   /** Cell-local cosine top-k: embed the query text the same way, read ONLY
     * its cell partition (plus optional Hamming-1 neighbor cells for recall),
     * rank by exact cosine.

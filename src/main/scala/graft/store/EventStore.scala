@@ -193,58 +193,21 @@ object EventStore {
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
     val hadoopConf = spark.sessionState.newHadoopConf()
-    recoverCompact(new org.apache.hadoop.fs.Path(path), hadoopConf)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val rootFs = root.getFileSystem(hadoopConf)
+    val docTypeDirs =
+      if (!rootFs.exists(root)) Seq.empty
+      else rootFs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
+    Compaction.recover(docTypeDirs, hadoopConf)
     parts.toSeq
       .filter { case (_, _, n, bytes) =>
-        n > maxFilesPerPartition ||
-          (n > 1 && bytes / n < targetFileBytes / 2)
+        Compaction.needsWork(n, bytes, targetFileBytes, maxFilesPerPartition)
       }
       .map { case (dt, date, n, bytes) =>
         val dir = new org.apache.hadoop.fs.Path(
           s"$path/doc_type=$dt/date=$date")
-        val fs = dir.getFileSystem(hadoopConf)
-        // '.'-prefixed siblings: invisible to partition discovery, so a
-        // concurrent read never sees doubled rows or a partition value
-        // like "2026-01-01.compact_tmp" that breaks date-type inference.
-        val tmp = new org.apache.hadoop.fs.Path(dir.getParent, s".compact_tmp_${dir.getName}")
-        val old = new org.apache.hadoop.fs.Path(dir.getParent, s".compact_old_${dir.getName}")
-        val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-        spark.read.option("mergeSchema", "true").parquet(dir.toString)
-          .coalesce(nOut)
-          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        require(fs.rename(dir, old), s"compact: could not move $dir aside")
-        require(fs.rename(tmp, dir), s"compact: could not publish $tmp")
-        fs.delete(old, true)
-        (dt, date, n, nOut)
+        (dt, date, n, Compaction.swapRewrite(spark, dir, bytes, targetFileBytes))
       }
-  }
-
-  /** Heal partitions stranded by a compact() crash. For every
-    * `.compact_old_<part>` dir: if `<part>` is back in place the publish
-    * finished and only the delete was lost — drop the stray; otherwise the
-    * crash hit between the two renames — rename the original back.
-    * Leftover `.compact_tmp_*` dirs are always incomplete output (a
-    * completed publish renames them away) and are deleted.
-    */
-  private def recoverCompact(root: org.apache.hadoop.fs.Path,
-      hadoopConf: org.apache.hadoop.conf.Configuration): Unit = {
-    val fs = root.getFileSystem(hadoopConf)
-    if (!fs.exists(root)) return
-    for {
-      docType <- fs.listStatus(root).toSeq if docType.isDirectory
-      child <- fs.listStatus(docType.getPath).toSeq if child.isDirectory
-      name = child.getPath.getName
-    } {
-      if (name.startsWith(".compact_old_")) {
-        val dest = new org.apache.hadoop.fs.Path(
-          docType.getPath, name.stripPrefix(".compact_old_"))
-        if (fs.exists(dest)) fs.delete(child.getPath, true)
-        else require(fs.rename(child.getPath, dest),
-          s"compact recovery: could not restore ${child.getPath} to $dest")
-      } else if (name.startsWith(".compact_tmp_")) {
-        fs.delete(child.getPath, true)
-      }
-    }
   }
 
   /** Parse the nested complete_game documents out of raw_json (F3). */

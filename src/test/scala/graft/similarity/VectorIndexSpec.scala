@@ -111,4 +111,36 @@ class VectorIndexSpec extends SparkSpec {
     assert(VectorIndex.search(spark, index, "echo foxtrot golf hotel")
       .head().getAs[Double]("cosine") === 1.0)
   }
+
+  test("compactCells: incremental appends collapse to few files; search unchanged") {
+    val store = java.nio.file.Files.createTempDirectory("graft-vstore3").toString
+    val index = java.nio.file.Files.createTempDirectory("graft-vindex3").toString + "/idx"
+    // 5 incremental builds of the SAME text (distinct sessions/ts): every
+    // build appends its own file(s) into that text's one cell — the
+    // small-file accumulation search latency pays for
+    var ckpt = ""
+    for (i <- 1 to 5) {
+      mkStore(store, Seq((s"s$i", 0L, s"2024-01-01T00:00:0$i",
+        "alpha bravo charlie delta")))
+      ckpt = VectorIndex.build(spark, store, index, sinceTs = ckpt, chunkSize = 1)
+    }
+    def dataFiles(cellDir: java.io.File): Seq[String] =
+      cellDir.listFiles().toSeq.map(_.getName)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_"))
+    val cellDirs = new java.io.File(index).listFiles().toSeq
+      .filter(_.getName.startsWith("cell="))
+    assert(cellDirs.map(dataFiles(_).size).max >= 5, "fixture must accumulate files")
+    val before = VectorIndex.search(spark, index, "alpha bravo charlie delta")
+      .collect().toSeq
+    val compacted = VectorIndex.compactCells(spark, index, maxFilesPerCell = 2)
+    assert(compacted.nonEmpty)
+    assert(cellDirs.forall(dataFiles(_).size <= 2),
+      "every cell must end at or under the file cap")
+    // results are identical after the swap — same rows, same order
+    val after = VectorIndex.search(spark, index, "alpha bravo charlie delta")
+      .collect().toSeq
+    assert(after === before)
+    // idempotent: a second pass finds nothing to do
+    assert(VectorIndex.compactCells(spark, index, maxFilesPerCell = 2).isEmpty)
+  }
 }
