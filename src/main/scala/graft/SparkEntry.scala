@@ -20,7 +20,8 @@ object SparkEntry {
     (ops.AnalyticsQueries.queries, ops.AnalyticsQueries.oracles),
     (text.TextQueries.queries, text.TextQueries.oracles),
     (similarity.SimilarityQueries.queries, similarity.SimilarityQueries.oracles),
-    (similarity.DedupClusters.queries, similarity.DedupClusters.oracles))
+    (similarity.DedupClusters.queries, similarity.DedupClusters.oracles),
+    (similarity.Embeddings.queries, similarity.Embeddings.oracles))
 
   /** Flagship: the reference's richest single query — `get_tick_features`
     * (`src/services/event_store/duckdb.py:408-458`) — LAG delta, pct change

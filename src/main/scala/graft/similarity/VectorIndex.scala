@@ -9,12 +9,14 @@ import org.apache.spark.sql.functions._
   * incremental chunk consumption (ts > checkpoint) → embedding → an
   * LSH-cell-partitioned index table → cell-local cosine search.
   *
-  * The EMBEDDING step is a deterministic stub (hashing vectorizer with
-  * bucket-level smooth-IDF weights frozen at first build — no embedding
-  * model ships in this environment): real pipelines swap `embed` for a
-  * model-serving stage (mapInPandas/ONNX); every other stage —
-  * chunking, cell assignment, partitioned layout, search plan — is the real
-  * 100 TB shape:
+  * The EMBEDDING step has two modes: a CORPUS-TRAINED distributional space
+  * ([[Embeddings]] — PPMI + power-iteration SVD, trained as a Spark job and
+  * frozen as a `_model` sidecar at first build) and a deterministic
+  * hashing-vectorizer fallback (bucket-level smooth-IDF weights, also
+  * frozen at first build) for indexes built before any corpus statistics
+  * exist. A served pretrained model (mapInPandas/ONNX) would slot into the
+  * same dispatch; every other stage — chunking, cell assignment,
+  * partitioned layout, search plan — is the real 100 TB shape:
   *   - the index is WRITTEN partitioned by LSH cell, so a query reads ONE
   *     cell's files (partition pruning does the fan-out reduction);
   *   - cell assignment is the native one-pass `rh_signature` expression
@@ -81,6 +83,26 @@ object VectorIndex {
     (0 until Dim).map(b => math.log((n + 1.0) / (df.getOrElse(b, 0L) + 1.0)) + 1.0)
   }
 
+  // --- model sidecar: CORPUS-TRAINED word vectors (Embeddings.train —
+  // PPMI + power-iteration SVD), frozen at first build exactly like the idf
+  // weights below: every increment and every query embeds in the space the
+  // first build trained. Underscore prefix keeps the dir invisible to
+  // partition discovery. When present it takes precedence over the
+  // hashing-vectorizer path — retrieval then ranks by distributional
+  // meaning, not token overlap.
+
+  private def modelPath(indexPath: String) =
+    new org.apache.hadoop.fs.Path(s"$indexPath/_model")
+
+  private def saveModel(spark: SparkSession, indexPath: String, model: DataFrame): Unit =
+    model.write.parquet(modelPath(indexPath).toString)
+
+  private[similarity] def loadModel(spark: SparkSession, indexPath: String): Option[DataFrame] = {
+    val p = modelPath(indexPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
   // --- idf sidecar: weights are FROZEN at first build so every later
   // increment and every query embeds in the same space (re-deriving idf per
   // batch would silently shift all previously indexed vectors' geometry).
@@ -111,9 +133,20 @@ object VectorIndex {
   /** Build (or incrementally extend) the index: chunk the store past the
     * checkpoint, embed, assign an LSH cell, append partitioned by cell.
     * Returns the new checkpoint (max ts consumed), like `indexer.py:94-116`.
+    *
+    * Embedding dispatch, in precedence order:
+    *   1. a `_model` sidecar exists → corpus-trained word vectors
+    *      ([[Embeddings.embedWith]]);
+    *   2. `trainCorpus` given on a FIRST build → train PPMI+SVD vectors
+    *      from it, freeze them as the sidecar, embed with them (an index
+    *      that already has vectors never retrains — that would shift the
+    *      geometry under every existing vector, same rule as idf);
+    *   3. otherwise → the hashing vectorizer with frozen idf weights.
     */
   def build(spark: SparkSession, storePath: String, indexPath: String,
-      sinceTs: String, chunkSize: Int = 8): String = {
+      sinceTs: String, chunkSize: Int = 8,
+      trainCorpus: Option[DataFrame] = None,
+      modelCfg: Embeddings.Config = Embeddings.Config()): String = {
     // Materialize the increment ONCE: the checkpoint must be the max ts of
     // the batch that was actually WRITTEN — re-reading the live store after
     // the write would advance the checkpoint past events a concurrent
@@ -134,15 +167,28 @@ object VectorIndex {
         val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
         val hasVectors = fs.exists(p) &&
           fs.listStatus(p).exists(_.getPath.getName.startsWith("cell="))
-        val idf: Option[Seq[Double]] = loadIdf(spark, indexPath).orElse {
-          if (hasVectors) None
-          else {
-            val w = bucketIdf(chunks)
-            saveIdf(spark, indexPath, w)
-            Some(w)
+        val model: Option[DataFrame] = loadModel(spark, indexPath).orElse {
+          trainCorpus.filter(_ => !hasVectors).map { corpus =>
+            val m = Embeddings.train(corpus, "text", modelCfg)
+            saveModel(spark, indexPath, m)
+            loadModel(spark, indexPath).get // read back: frozen bytes, one scan
           }
         }
-        embed(chunks, idf = idf)
+        val embedded = model match {
+          case Some(m) =>
+            Embeddings.embedWith(m, chunks, "chunk_text", Seq("session_id", "chunk_id"))
+          case None =>
+            val idf: Option[Seq[Double]] = loadIdf(spark, indexPath).orElse {
+              if (hasVectors) None
+              else {
+                val w = bucketIdf(chunks)
+                saveIdf(spark, indexPath, w)
+                Some(w)
+              }
+            }
+            embed(chunks, idf = idf)
+        }
+        embedded
           .withColumn("cell",
             graft.functions.RandomHyperplaneSignature
               .rh_signature(spark, "embedding", CellBits))
@@ -191,23 +237,31 @@ object VectorIndex {
   }
 
   /** Cell-local cosine top-k: embed the query text the same way, read ONLY
-    * its cell partition (plus optional Hamming-1 neighbor cells for recall),
-    * rank by exact cosine.
+    * the cell partitions within Hamming distance `probeHamming` of the
+    * query's cell, rank by exact cosine. `probeHamming` is the recall/cost
+    * dial (the q49 nprobe lesson): 0 = one cell, 1 = 1+CellBits cells
+    * (default), CellBits = exhaustive. Each probed cell is a pruned
+    * partition read — cost scales with cells probed, never with index size.
     */
   def search(spark: SparkSession, indexPath: String, queryText: String,
-      k: Int = 5, probeNeighborCells: Boolean = true): DataFrame = {
+      k: Int = 5, probeHamming: Int = 1): DataFrame = {
     import spark.implicits._
-    val qRow = embed(Seq(queryText).toDF("chunk_text"),
-        idf = loadIdf(spark, indexPath))
+    val qDf = Seq(queryText).toDF("chunk_text")
+    val qEmbedded = loadModel(spark, indexPath) match {
+      case Some(m) =>
+        Embeddings.embedWith(m, qDf.withColumn("__k", lit(1)),
+          "chunk_text", Seq("__k"))
+      case None => embed(qDf, idf = loadIdf(spark, indexPath))
+    }
+    val qRow = qEmbedded
       .withColumn("cell",
         graft.functions.RandomHyperplaneSignature
           .rh_signature(spark, "embedding", CellBits))
       .select("embedding", "cell").head()
     val qVec = qRow.getSeq[Double](0)
     val qCell = qRow.getLong(1)
-    val cells: Seq[Long] =
-      if (!probeNeighborCells) Seq(qCell)
-      else qCell +: (0 until CellBits).map(b => qCell ^ (1L << b))
+    val cells: Seq[Long] = (0L until (1L << CellBits))
+      .filter(c => java.lang.Long.bitCount(c ^ qCell) <= probeHamming)
     spark.read.parquet(indexPath)
       .filter(col("cell").isin(cells: _*)) // partition-pruned cell read
       .withColumn("qvec", typedLit(qVec))

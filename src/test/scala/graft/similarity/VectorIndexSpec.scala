@@ -112,6 +112,77 @@ class VectorIndexSpec extends SparkSpec {
       .head().getAs[Double]("cosine") === 1.0)
   }
 
+  test("model-backed index: synonym query outranks token-overlap decoy; recall@10 vs exact") {
+    import org.apache.spark.sql.functions.{broadcast, desc, size => fsize}
+    val store = java.nio.file.Files.createTempDirectory("graft-vstore4").toString
+    val index = java.nio.file.Files.createTempDirectory("graft-vindex4").toString + "/idx"
+    // training corpus: cat/dog share contexts but never co-occur; the
+    // market family is disjoint (the EmbeddingsSpec fixture)
+    val corpus = (
+      (1 to 30).map(i => s"the cat runs fast chasing toy$i") ++
+        (1 to 30).map(i => s"the dog runs fast chasing toy$i") ++
+        (1 to 30).map(i => s"market coin price rises trading day$i") ++
+        (1 to 30).map(i => s"the cat sleeps warm blanket net$i") ++
+        (1 to 30).map(i => s"the dog sleeps warm blanket net$i"))
+      .toDF("text")
+    val cfg = Embeddings.Config(
+      dim = 8, window = 2, vocabSize = 256, minCount = 2, iters = 10, seed = 7)
+    // indexed chunks: the synonym chunk shares ZERO tokens with the query;
+    // the decoy shares "cat" — token hashing MUST rank the decoy first,
+    // the trained space must rank the synonym first
+    mkStore(store, Seq(
+      ("syn", 0L, "2024-01-01T00:00:00", "dog chasing"),
+      ("decoy", 0L, "2024-01-01T00:00:01", "cat market coin price trading"),
+      ("filler1", 0L, "2024-01-01T00:00:02", "market price rises"),
+      ("filler2", 0L, "2024-01-01T00:00:03", "warm blanket sleeps"),
+      ("filler3", 0L, "2024-01-01T00:00:04", "coin trading day1")))
+    // ...plus the corpus itself, so the recall measurement below has a
+    // populated neighborhood (an IVF probe over 5 rows in 256 cells is
+    // vacuous — the q49 lesson at test scale)
+    mkStore(store, corpus.collect().zipWithIndex.map { case (r, i) =>
+      (f"c$i%03d", 0L, f"2024-01-02T${i / 3600}%02d:${i / 60 % 60}%02d:${i % 60}%02d",
+        r.getString(0))
+    }.toSeq)
+    val ckpt = VectorIndex.build(spark, store, index, sinceTs = "",
+      chunkSize = 1, trainCorpus = Some(corpus), modelCfg = cfg)
+    assert(VectorIndex.loadModel(spark, index).isDefined, "sidecar must freeze")
+    // exhaustive probe: this assertion is about the RANKING the trained
+    // space produces, not cell selection
+    val hits = VectorIndex.search(spark, index, "cat runs", k = 160,
+      probeHamming = VectorIndex.CellBits).collect()
+    val rankOf = hits.map(r =>
+      r.getAs[String]("session_id") -> r.getAs[Int]("rank")).toMap
+    info(s"syn rank=${rankOf.get("syn")} decoy rank=${rankOf.get("decoy")}")
+    assert(rankOf("syn") < rankOf("decoy"),
+      "distributional match must beat token overlap")
+    // frozen space: an increment embeds with the SAME model (no retrain)
+    mkStore(store, Seq(("late", 0L, "2024-01-03T00:00:09", "dog runs fast")))
+    VectorIndex.build(spark, store, index, sinceTs = ckpt, chunkSize = 1,
+      trainCorpus = Some(corpus.limit(10)), modelCfg = cfg) // corpus IGNORED
+    assert(VectorIndex.search(spark, index, "dog runs fast").head()
+      .getAs[Double]("cosine") === 1.0, "increment must share the frozen space")
+    // recall@10 of the DEFAULT (Hamming-1) probe vs exact brute force over
+    // the whole index, same embeddings
+    val all = spark.read.parquet(index)
+    val q = Embeddings.embedWith(VectorIndex.loadModel(spark, index).get,
+      Seq((1, "the cat runs fast chasing toy3")).toDF("k", "chunk_text"),
+      "chunk_text", Seq("k"))
+      .select("embedding").head().getSeq[Double](0)
+    val exact = all
+      .withColumn("qvec", org.apache.spark.sql.functions.typedLit(q))
+      .withColumn("cos", graft.functions.CosineSimilarity
+        .cosine_similarity(spark, "qvec", "embedding"))
+      .orderBy(desc("cos"), org.apache.spark.sql.functions.col("session_id"))
+      .limit(10).collect().map(_.getAs[String]("session_id")).toSet
+    val probed = VectorIndex.search(spark, index,
+      "the cat runs fast chasing toy3", k = 10)
+      .collect().map(_.getAs[String]("session_id")).toSet
+    val recall = (exact & probed).size.toDouble / exact.size
+    info(f"recall@10 vs exact (Hamming-1 probe): $recall%.2f " +
+      s"(${(exact & probed).size}/${exact.size})")
+    assert(recall >= 0.7, s"cell-probed recall@10 too low: $recall")
+  }
+
   test("compactCells: incremental appends collapse to few files; search unchanged") {
     val store = java.nio.file.Files.createTempDirectory("graft-vstore3").toString
     val index = java.nio.file.Files.createTempDirectory("graft-vindex3").toString + "/idx"
