@@ -66,12 +66,21 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(s, d, "events")
-    // only the raw TIMESTAMP(NANOS)-as-long physical type needs converting;
-    // a re-written copy of the table already has a real timestamp column
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    // normalize ts to TimestampType whatever the writer produced:
+    //  - the raw TIMESTAMP(NANOS) physical type arrives as long (conf above);
+    //  - a copy rewritten by DuckDB/pandas arrives as µs TIMESTAMP with
+    //    isAdjustedToUTC=0 = TimestampNTZ, which time functions like
+    //    unix_micros reject — value-preserving cast under the UTC session;
+    //  - a Spark-written copy is already TimestampType.
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
