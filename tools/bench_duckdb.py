@@ -1,7 +1,11 @@
 #!/usr/bin/env python3
 """Builder-side baseline probe: time each oracle SQL in DuckDB at a given sf
 and print seconds per query, for comparison against graft.Bench output.
-Usage: python3 tools/bench_duckdb.py <sfDir> <verifyOutDir(with oracle_sql.json)>
+Usage: python3 tools/bench_duckdb.py <sfDir> <verifyOutDir(with oracle_sql.json)> [skip1,skip2,...]
+
+The optional skip list is for the hash-family queries (q42/q43/q44/q48/
+q63), whose oracles execute our generated hash64 chain — minutes each at
+10x scale and not a measurement of DuckDB anyway (SCALING.md caveat).
 """
 import json, sys, time
 import duckdb
@@ -9,7 +13,7 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, skip=()):
     con = duckdb.connect()
     con.execute(f"SET threads TO 32")
     import os
@@ -21,6 +25,8 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     times = {}
     for name in sorted(oracle):
+        if any(name.startswith(s) for s in skip):
+            continue
         t0 = time.time()
         try:
             con.execute(oracle[name]).fetchall()
@@ -32,4 +38,5 @@ def main(sf_dir, out_dir):
                       "queries": times}))
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2],
+         sys.argv[3].split(",") if len(sys.argv) > 3 else ())
