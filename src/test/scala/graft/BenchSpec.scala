@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench artifact's own logic: a broken query must never masquerade as
+  * a fast one, and the JSON line must stay parseable whatever an error
+  * message contains (the round-6 lesson formalized).
+  */
+class BenchSpec extends AnyFunSuite {
+
+  test("median of 3 picks the middle rep") {
+    assert(Bench.median(Seq(3.0, 1.0, 2.0)) === 2.0)
+    assert(Bench.median(Seq(5.0, 5.0, 0.1)) === 5.0)
+  }
+
+  test("hash family is exactly the generated-hash-oracle queries") {
+    assert(Bench.HashFamily === Set(
+      "q42_minhash_signatures", "q43_minhash_lsh_pairs", "q44_simhash",
+      "q48_winnowing_fingerprints", "q63_simhash_pairs"))
+    assert(Bench.HashFamily.subsetOf(SparkEntry.queries.keySet),
+      "every hash-family name must be a registered query")
+  }
+
+  test("a throwing query records its error and never a wall-time") {
+    val spark = SparkSpec.session
+    val r = Bench.runQuery(spark, "/nonexistent", "boom",
+      (s, d) => s.read.parquet(s"$d/nope.parquet"))
+    assert(r.err.isDefined)
+    assert(r.sec === -1.0)
+    assert(r.reps.isEmpty)
+  }
+
+  test("canary reference values stay committed and sane") {
+    assert(Bench.CanaryRefCpuSec > 0 && Bench.CanaryRefCpuSec < 5)
+    assert(Bench.CanaryRefScanSec > 0 && Bench.CanaryRefScanSec < 5)
+  }
+}
