@@ -62,17 +62,26 @@ object Bench {
       spark.range(50000000L).selectExpr("sum(id * 3 + 1)").collect()
     }))
 
-  /** I/O canary: full uncached scan-and-sum of the largest fact table.
-    * `parquet(...)` is called fresh each rep (bypassing Tables' memo would
-    * not matter — the memo caches the plan, not the data) so every rep
-    * re-reads bytes through the OS cache; this tracks I/O+decode health.
+  /** I/O canary: full uncached scan-and-sum of a FIXED fact table — the
+    * committed sf0.1 lineitem when present, else the bench SF's (then the
+    * reference value no longer applies and health reads from the CPU
+    * canary alone). Fixed input matters: the canary measures the MACHINE,
+    * so its workload must not scale with the SF under test. `parquet(...)`
+    * is called fresh each rep so every rep re-reads bytes through the OS
+    * cache; this tracks I/O+decode health.
     */
-  def canaryScan(spark: SparkSession, sfDir: String): Double =
+  val CanaryScanTable = "/root/testdata/sf0.1/lineitem.parquet"
+
+  def canaryScan(spark: SparkSession, sfDir: String): Double = {
+    val path =
+      if (new java.io.File(CanaryScanTable).exists) CanaryScanTable
+      else s"$sfDir/lineitem.parquet"
     median((1 to 3).map(_ => time {
-      spark.read.parquet(s"$sfDir/lineitem.parquet")
+      spark.read.parquet(path)
         .selectExpr("sum(l_extendedprice)", "sum(l_quantity)", "count(*)")
         .collect()
     }))
+  }
 
   private def jstr(s: String): String =
     "\"" + s.flatMap {
