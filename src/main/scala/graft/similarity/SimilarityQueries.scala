@@ -481,7 +481,10 @@ object SimilarityQueries {
       aCol: String, bCol: String): Column =
     round(graft.functions.L2Distance.l2_sq(s, aCol, bCol), 6)
 
-  val q69Kmeans: Q = (s, d) => {
+  /** The fitted Lloyd assignment (vec_id, cid, dist2, v) — shared by q69
+    * (assignment report) and q74 (semantic dedup within clusters).
+    */
+  private def kmAssigned(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
     // argmin as a struct-min AGGREGATE, not a rank window: (dist2, cid) is
@@ -514,7 +517,37 @@ object SimilarityQueries {
     // at real iteration counts that, not the data, becomes the bottleneck
     for (_ <- 1 to KmIters) cents = update(assign(cents)).localCheckpoint()
     assign(cents)
+  }
+
+  val q69Kmeans: Q = (s, d) =>
+    kmAssigned(s, d)
       .select(col("vec_id"), col("cid").as("cluster"), col("dist2"))
+      .orderBy("vec_id")
+
+  // ---------------------------------------------------------------------------
+  // q74 — semantic dedup (SemDeDup, Abbas et al. 2023): cluster the
+  // embedding space (q69's Lloyd fit), then WITHIN each cluster drop any
+  // vector that has a more-senior (lower vec_id) neighbor above the cosine
+  // bar. The clustering is what makes the quadratic step tractable — pairs
+  // never cross cluster boundaries, so pair volume is Σ|cluster|², bounded
+  // by balancing K with corpus size (K ~ √N keeps clusters O(√N)); the
+  // keep-lowest-id rule replaces the paper's random representative so both
+  // engines pick identical survivors.
+  val SemDedupTheta = 0.35 // q41's near-dup bar, kept consistent across the family
+
+  val q74SemanticDedup: Q = (s, d) => {
+    val a = kmAssigned(s, d).select(col("vec_id"), col("cid"), col("v"))
+    val x = a.select(col("cid"), col("vec_id").as("id_a"), col("v").as("va"))
+    val y = a.select(col("cid"), col("vec_id").as("id_b"), col("v").as("vb"))
+    val dropped = x.join(y, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cos6(s, "va", "vb"))
+      .filter(col("cosine") >= SemDedupTheta)
+      .select(col("id_b").as("vec_id")).distinct()
+    a.select(col("vec_id"), col("cid").as("cluster"))
+      .join(dropped.withColumn("k", lit(false)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("k"), lit(true)).as("kept"))
       .orderBy("vec_id")
   }
 
@@ -541,22 +574,41 @@ object SimilarityQueries {
        |  FROM dx$i GROUP BY cid, d),
        |c$i AS (SELECT cid, list(m ORDER BY d) AS cv FROM dm$i GROUP BY cid)""".stripMargin
 
-  val q69Sql: String = {
+  /** The Lloyd-fit CTE chain (shared by the q69 and q74 oracles), ending in
+    * the final assignment relation `a${KmIters+1}`.
+    */
+  private def kmCtes: String = {
     val rounds = (1 to KmIters)
       .map(i => kmAssignCte(i, if (i == 1) "c0" else s"c${i - 1}") + ",\n" +
         kmUpdateCte(i))
       .mkString(",\n")
-    s"""WITH embd AS (
+    s"""embd AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
        |c0 AS (
        |  SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv FROM embd
        |  WHERE vec_id < $KmK),
        |$rounds,
-       |${kmAssignCte(KmIters + 1, s"c$KmIters")}
+       |${kmAssignCte(KmIters + 1, s"c$KmIters")}""".stripMargin
+  }
+
+  val q69Sql: String =
+    s"""WITH $kmCtes
        |SELECT vec_id, cid AS cluster, dist2 FROM a${KmIters + 1}
        |ORDER BY vec_id""".stripMargin
-  }
+
+  val q74Sql: String =
+    s"""WITH $kmCtes,
+       |pairs AS (
+       |  SELECT y.vec_id AS dropped
+       |  FROM a${KmIters + 1} x JOIN a${KmIters + 1} y
+       |    ON x.cid = y.cid AND x.vec_id < y.vec_id
+       |  WHERE round(${dotSql("x.v", "y.v")}
+       |      / (${normSql("x.v")} * ${normSql("y.v")}), 6) >= $SemDedupTheta)
+       |SELECT e.vec_id, e.cid AS cluster,
+       |  e.vec_id NOT IN (SELECT dropped FROM pairs) AS kept
+       |FROM a${KmIters + 1} e
+       |ORDER BY e.vec_id""".stripMargin
 
   // ---------------------------------------------------------------------------
   // q51 — random-hyperplane LSH for embedding cosine (the cosine analog of
@@ -904,7 +956,8 @@ object SimilarityQueries {
     "q48_winnowing_fingerprints" -> q48Winnowing,
     "q49_ivf_ann" -> q49IvfAnn,
     "q51_rh_lsh_pairs" -> q51RhLshPairs,
-    "q69_kmeans" -> q69Kmeans)
+    "q69_kmeans" -> q69Kmeans,
+    "q74_semantic_dedup" -> q74SemanticDedup)
 
   val oracles: Map[String, String] = Map(
     "q40_cosine_topk" -> q40Sql,
@@ -917,5 +970,6 @@ object SimilarityQueries {
     "q48_winnowing_fingerprints" -> q48Sql,
     "q49_ivf_ann" -> q49Sql,
     "q51_rh_lsh_pairs" -> q51Sql,
-    "q69_kmeans" -> q69Sql)
+    "q69_kmeans" -> q69Sql,
+    "q74_semantic_dedup" -> q74Sql)
 }

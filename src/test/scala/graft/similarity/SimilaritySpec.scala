@@ -235,6 +235,51 @@ class SimilaritySpec extends SparkSpec {
     assert(got(41L)._1 === k2.head)
   }
 
+  test("q74 semantic dedup: survivors are pairwise below the bar; twins dedup") {
+    val rnd = new scala.util.Random(47L)
+    def around(center: Array[Float], eps: Float): Array[Float] =
+      center.map(c => c + eps * rnd.nextGaussian().toFloat)
+    val c1 = Array.fill(16)(rnd.nextGaussian().toFloat * 5)
+    val c2 = Array.fill(16)(rnd.nextGaussian().toFloat * 5)
+    // two clouds; cloud members are near-identical directions (cosine ≈ 1
+    // within a cloud, unrelated across) plus an exact twin of vector 0
+    val vecs: Seq[(Long, Array[Float])] =
+      (0L to 7L).map(i => i -> around(if (i % 2 == 0) c1 else c2, 0.01f)) ++
+        (8L to 14L).map(i => i -> around(c1, 0.01f)) ++
+        (15L to 20L).map(i => i -> around(c2, 0.01f)) :+ (21L -> c1.clone())
+    val dir = java.nio.file.Files.createTempDirectory("graft-semdedup").toString
+    vecs.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = SimilarityQueries.q74SemanticDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Int]("cluster"), r.getAs[Boolean]("kept")))
+      .toMap
+    assert(rows.size === vecs.size)
+    val vmap = vecs.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val theta = SimilarityQueries.SemDedupTheta
+    // near-identical clouds must actually dedup
+    assert(rows.count(!_._2._2) >= 5, s"expected real drops, got $rows")
+    for {
+      (i, (ci, ki)) <- rows; (j, (cj, kj)) <- rows
+      if i < j && ci == cj
+    } {
+      // survivors within a cluster are pairwise below the bar...
+      if (ki && kj) assert(cos(vmap(i), vmap(j)) < theta + 1e-6,
+        s"kept pair ($i,$j) above the bar")
+    }
+    // ...and every dropped vector has a more-senior neighbor above it
+    for ((j, (cj, kept)) <- rows if !kept)
+      assert(rows.exists { case (i, (ci, _)) =>
+        i < j && ci == cj && cos(vmap(i), vmap(j)) >= theta - 1e-6
+      }, s"dropped $j has no senior near-dup")
+    // the exact twin (21 duplicates 0's direction) cannot both survive
+    assert(!(rows(21L)._2 && rows(0L)._2) || rows(21L)._1 != rows(0L)._1)
+  }
+
   test("cosine top-k: nearest neighbor of a vector is its duplicate") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
