@@ -72,9 +72,16 @@ object Bench {
     */
   val CanaryScanTable = "/root/testdata/sf0.1/lineitem.parquet"
 
+  /** True when the committed fixed-input canary table exists — only then is
+    * `CanaryRefScanSec` comparable to today's scan canary. On the fallback
+    * (bench SF's own lineitem) the canary workload scales with the SF under
+    * test, so health must read from the CPU canary alone.
+    */
+  def canaryScanIsFixed: Boolean = new java.io.File(CanaryScanTable).exists
+
   def canaryScan(spark: SparkSession, sfDir: String): Double = {
     val path =
-      if (new java.io.File(CanaryScanTable).exists) CanaryScanTable
+      if (canaryScanIsFixed) CanaryScanTable
       else s"$sfDir/lineitem.parquet"
     median((1 to 3).map(_ => time {
       spark.read.parquet(path)
@@ -135,9 +142,13 @@ object Bench {
     // post-sweep canary: detects machine state that degraded DURING the run
     val canCpuAfter = canaryCpu(spark)
     val canScanAfter = canaryScan(spark, sfDir)
-    val health = math.max(
-      math.max(canCpuBefore, canCpuAfter) / CanaryRefCpuSec,
-      math.max(canScanBefore, canScanAfter) / CanaryRefScanSec)
+    // the scan ratio is meaningful only against the FIXED table the
+    // reference value was measured on; on the fallback path the scan canary
+    // scales with the SF under test and would fake machine degradation
+    val cpuRatio = math.max(canCpuBefore, canCpuAfter) / CanaryRefCpuSec
+    val scanRatio = math.max(canScanBefore, canScanAfter) / CanaryRefScanSec
+    val health =
+      if (canaryScanIsFixed) math.max(cpuRatio, scanRatio) else cpuRatio
 
     val ok = results.filter(_.err.isEmpty)
     val total = ok.map(_.sec).sum
@@ -150,13 +161,17 @@ object Bench {
         ",\"err\":" + r.err.map(jstr).getOrElse("null") +
         ",\"reps\":" + r.reps.mkString("[", ",", "]") + "}"
     }.mkString("{", ",", "}")
+    // rounded via math.round, NOT the f-interpolator: f"" formats with the
+    // JVM default locale, and a comma-decimal locale would emit invalid JSON
+    def r2(x: Double): Double = math.round(x * 100.0) / 100.0
+    def r3(x: Double): Double = math.round(x * 1000.0) / 1000.0
     val canary =
       s"""{"cpu_sec":$canCpuBefore,"scan_sec":$canScanBefore,""" +
       s""""cpu_sec_after":$canCpuAfter,"scan_sec_after":$canScanAfter,""" +
       s""""ref_cpu_sec":$CanaryRefCpuSec,"ref_scan_sec":$CanaryRefScanSec,""" +
-      f""""health":$health%.2f}"""
+      s""""scan_is_fixed":$canaryScanIsFixed,"health":${r2(health)}}"""
     val subtotals =
-      f"""{"idiomatic":$idiomaticTotal%.3f,"hash_family":$hashTotal%.3f}"""
+      s"""{"idiomatic":${r3(idiomaticTotal)},"hash_family":${r3(hashTotal)}}"""
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""canary":$canary,"subtotals":$subtotals,"errors":${results.count(_.err.nonEmpty)},""" +

@@ -1,0 +1,71 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Proves `bucketPairs` is lossless at ANY bucket occupancy — the round-7
+  * verdict's one finding was a silent 10,000-member bucket cap that dropped
+  * oversized LSH buckets whole, voiding q63's "exactly all pairs at
+  * Hamming <= 3" pigeonhole guarantee on degenerate corpora (boilerplate
+  * band values, empty docs). The chunk-salted rewrite distributes the
+  * inherent c(k,2) work instead of dropping it; these specs pin that down:
+  *
+  *   - exact pair-SET equality against a brute-force oracle with a chunk
+  *     size small enough that the multi-chunk (within + cross) path is the
+  *     one doing the work;
+  *   - a bucket LARGER than the old 10k cap emitting its complete
+  *     c(k,2) = k(k-1)/2 pair count — the exact case r7 silently lost;
+  *   - cross-band dedup and the ordering invariant id_a < id_b.
+  */
+class DegenerateBucketSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def banded(rows: Seq[(Long, Int, Long)]) =
+    rows.toDF("id", "band", "bkey")
+
+  test("multi-chunk expansion emits exactly the brute-force pair set") {
+    // 300 members in one degenerate bucket; chunkSize=16 forces ~19 chunks
+    // so nearly every pair crosses chunks — the path a small fixture with
+    // the default chunkSize would never execute.
+    val k = 300
+    val rows = (1L to k.toLong).map(id => (id, 0, 42L))
+    val got = SimilarityQueries.bucketPairs(banded(rows), chunkSize = 16)
+      .as[(Long, Long)].collect().toSet
+    val expected = (for {
+      a <- 1L to k.toLong; b <- (a + 1) to k.toLong
+    } yield (a, b)).toSet
+    assert(got === expected) // 44,850 pairs, none dropped, none invented
+  }
+
+  test("bucket over the old 10k cap yields the complete c(k,2) count") {
+    // 10,050 members sharing one band value — the r7 code dropped this
+    // bucket entirely (filter size(ids) <= 10000). Default chunkSize=1024
+    // splits it into ~10 chunks; the union must still be every pair.
+    val k = 10050L
+    val df = spark.range(1, k + 1)
+      .select(col("id"), lit(0).as("band"), lit(7L).as("bkey"))
+    val n = SimilarityQueries.bucketPairs(df).count()
+    assert(n === k * (k - 1) / 2)
+  }
+
+  test("pairs meeting in several bands are emitted once, ordered id_a < id_b") {
+    // ids 1..6 share band 0; ids 4..9 share band 1 → overlap {4,5,6} pairs
+    // appear in both bands; chunkSize=2 forces chunking even here.
+    val rows =
+      (1L to 6L).map(id => (id, 0, 11L)) ++ (4L to 9L).map(id => (id, 1, 22L))
+    val got = SimilarityQueries.bucketPairs(banded(rows), chunkSize = 2)
+      .as[(Long, Long)].collect()
+    assert(got.length === got.toSet.size, "duplicate pair emitted")
+    assert(got.forall { case (a, b) => a < b }, "ordering invariant broken")
+    val expected =
+      (for { a <- 1L to 6L; b <- (a + 1) to 6L } yield (a, b)).toSet ++
+      (for { a <- 4L to 9L; b <- (a + 1) to 9L } yield (a, b)).toSet
+    assert(got.toSet === expected)
+  }
+
+  test("single-member and empty buckets emit nothing") {
+    val rows = Seq((1L, 0, 1L), (2L, 0, 2L), (3L, 1, 3L))
+    assert(SimilarityQueries.bucketPairs(banded(rows)).count() === 0)
+  }
+}

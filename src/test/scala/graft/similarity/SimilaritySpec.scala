@@ -203,7 +203,7 @@ class SimilaritySpec extends SparkSpec {
     def around(center: Array[Float], eps: Float): Array[Float] =
       center.map(c => c + eps * rnd.nextGaussian().toFloat)
     // 3 well-separated centers, members within eps << separation; the
-    // first KmK=8 vectors seed the centroids so each center has a seed
+    // first kmK(42)=8 vectors seed the centroids so each center has a seed
     val c1 = Array.fill(16)(rnd.nextGaussian().toFloat * 5)
     val c2 = Array.fill(16)(rnd.nextGaussian().toFloat * 5)
     val c3 = Array.fill(16)(rnd.nextGaussian().toFloat * 5)
@@ -223,7 +223,8 @@ class SimilaritySpec extends SparkSpec {
       .toMap
     assert(got.size === vecs.size)                  // every vector assigned once
     assert(got.values.forall(_._2 >= 0.0))
-    assert(got.values.map(_._1).toSet.size <= SimilarityQueries.KmK)
+    assert(got.values.map(_._1).toSet.size <=
+      SimilarityQueries.kmK(vecs.size.toLong))
     // seeds 0,3..7 all sit in cloud 1, so that cloud may split among its
     // own centroids — the INVARIANT is cross-cloud purity: clouds 2 and 3
     // each have exactly one seed, collapse to one cluster each, and no

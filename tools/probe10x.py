@@ -22,7 +22,8 @@ FAMILIES = {
     "text_quality": ["q32", "q33", "q34", "q37", "q60"],
     "dedup_hash": ["q35", "q36", "q42", "q43", "q44", "q47", "q48", "q55",
                    "q63"],
-    "vectors": ["q40", "q41", "q49", "q51", "q69", "q73"],
+    "vectors": ["q40", "q41", "q49", "q51", "q69", "q73", "q74"],
+    "multimodal": ["q75"],
     "curation": ["q56", "q57", "q58", "q59", "q61", "q62", "q64", "q65",
                  "q66", "q72"],
     "domain": ["q45", "q53", "q54"],
@@ -34,6 +35,11 @@ def family_of(name):
     for fam, members in FAMILIES.items():
         if prefix in members:
             return fam
+    # an unmapped query silently lands in the catch-all and vanishes from
+    # its family's growth line — make the drift loud (r7: q74 did exactly
+    # this until the verdict caught it)
+    print(f"WARNING: {name} not in any FAMILIES entry; classified 'other'",
+          file=sys.stderr)
     return "other"
 
 
