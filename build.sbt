@@ -10,6 +10,9 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Degenerate-volume stress tests (tag graft.Slow) run on demand:
+//   sbt 'set Test/testOptions := Seq(); testOnly * -- -n graft.Slow'
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.Slow")
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
