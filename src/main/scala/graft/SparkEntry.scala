@@ -21,7 +21,8 @@ object SparkEntry {
     (text.TextQueries.queries, text.TextQueries.oracles),
     (similarity.SimilarityQueries.queries, similarity.SimilarityQueries.oracles),
     (similarity.DedupClusters.queries, similarity.DedupClusters.oracles),
-    (similarity.Embeddings.queries, similarity.Embeddings.oracles))
+    (similarity.Embeddings.queries, similarity.Embeddings.oracles),
+    (multimodal.MultimodalQueries.queries, multimodal.MultimodalQueries.oracles))
 
   /** Flagship: the reference's richest single query — `get_tick_features`
     * (`src/services/event_store/duckdb.py:408-458`) — LAG delta, pct change
