@@ -572,10 +572,24 @@ object SimilarityQueries {
   // driver-side footer read, the catalog rowCount statistic at scale), and
   // the SQL oracle derives the SAME K from count(*) inside the query, so
   // the two sides cannot drift.
+  //
+  // K is CAPPED at KmKMax = 2^16 (the usual IVF codebook ceiling): the
+  // centroid relation broadcasts every Lloyd round, and uncapped √N at
+  // 10^12 vectors would be a 10^6-row × 64-double ≈ 0.5 GB broadcast.
+  // Capped, it tops out at 2^16 × 64 × 8 B = 32 MB. Honest cost statement:
+  // Lloyd assignment is O(N·K) distance evaluations — N^1.5 while K still
+  // tracks √N, linear-in-N once the cap binds. Past the cap, expected
+  // cluster size grows as N/2^16, so q74 no longer relies on K alone to
+  // bound its within-cluster quadratic — semPairs chunk-salts each
+  // cluster's pair generation so per-task work stays ≤ ~c(chunk, 2)
+  // regardless of cluster size (and of assignment skew, which no K can
+  // fix: a corpus of near-identical embeddings puts everything in ONE
+  // cluster at any K).
   val KmKMin = 8
+  val KmKMax = 65536
   val KmIters = 2
   private[graft] def kmK(n: Long): Int =
-    math.max(KmKMin, math.ceil(math.sqrt(n.toDouble)).toInt)
+    math.min(math.max(KmKMin, math.ceil(math.sqrt(n.toDouble)).toInt), KmKMax)
 
   // rounded 6dp BEFORE the argmin; native one-pass expression — the HOF
   // form (aggregate over zip_with) ran interpreted and was the entire cost
@@ -640,12 +654,74 @@ object SimilarityQueries {
   // engines pick identical survivors.
   val SemDedupTheta = 0.35 // q41's near-dup bar, kept consistent across the family
 
+  /** Within-cluster unordered pairs (id_a < id_b) with both vectors,
+    * bounded per task at ANY cluster size. Input: (cid, vec_id, v).
+    *
+    * A plain self-join on cid enumerates one cluster's m² products inside
+    * the single task owning that cid — the hot-cluster analog of the
+    * bucketPairs degenerate bucket (and one no K schedule can prevent: a
+    * corpus of near-identical embeddings lands in ONE cluster at any K).
+    * Clusters that fit one chunk keep the direct join. Larger clusters go
+    * through a triangle grid: each member salts into chunk
+    * c = hash(vec_id) mod nchunks, an "a" copy fans out to buckets
+    * (ca = c, cb >= c) and a "b" copy to (ca <= c, cb = c), and the join
+    * on (cid, ca, cb) meets each unordered chunk pair in exactly one
+    * bucket — pair (u, w) with chunks (c1 <= c2) joins only in bucket
+    * (c1, c2). In an OFF-diagonal bucket the a/b roles are fixed by chunk,
+    * not by id (the senior member may sit in the higher chunk), so the
+    * keep-filter is (ca < cb) OR (id_a < id_b) — id order dedups only the
+    * diagonal buckets, where both orientations meet — and the output then
+    * re-normalizes each pair to (lower id, its vector, higher id, its
+    * vector). Each bucket holds ~chunkSize rows per side, so per-task join
+    * work is
+    * ~c(chunkSize, 2) and the m² total spreads over ~nchunks²/2 tasks.
+    * Replication cost is nchunks× per member — inherent to emitting m²
+    * pairs, and confined to the hot clusters (the grid relations are
+    * EMPTY when every cluster fits one chunk, as at all tested SFs).
+    */
+  private[graft] def semPairs(a: DataFrame,
+      chunkSize: Int = 1024): DataFrame = {
+    val wC = Window.partitionBy("cid")
+    val sized = a
+      .withColumn("nchunks",
+        ceil(count(lit(1)).over(wC) / lit(chunkSize.toDouble)).cast("int"))
+      .withColumn("chunk", pmod(xxhash64(col("vec_id")), col("nchunks")).cast("int"))
+    val small = sized.filter(col("nchunks") === 1)
+    val smallPairs = small
+      .select(col("cid"), col("vec_id").as("id_a"), col("v").as("va"))
+      .join(small.select(col("cid"), col("vec_id").as("id_b"), col("v").as("vb")),
+        Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+    val big = sized.filter(col("nchunks") > 1)
+    val aSide = big.select(col("cid"), col("chunk").as("ca"),
+      explode(sequence(col("chunk"), col("nchunks") - 1)).as("cb"),
+      col("vec_id").as("id_a"), col("v").as("va"))
+    val bSide = big.select(col("cid"),
+      explode(sequence(lit(0), col("chunk"))).as("ca"),
+      col("chunk").as("cb"),
+      col("vec_id").as("id_b"), col("v").as("vb"))
+    // merge-hinted: the grid path only carries data when a cluster
+    // overflows a chunk, i.e. when the relations are big by construction —
+    // a broadcast pick (plausible under stale stats, certain on a small
+    // probe) would collapse the whole expansion back into the tasks that
+    // hold aSide, undoing the distribution the grid exists for. The hint
+    // forces both sides to exchange on (cid, ca, cb), which IS the spread.
+    val bigPairs = aSide.join(bSide.hint("merge"), Seq("cid", "ca", "cb"))
+      .filter(col("ca") < col("cb") || col("id_a") < col("id_b"))
+      .select(col("cid"),
+        least(col("id_a"), col("id_b")).as("lo"),
+        when(col("id_a") < col("id_b"), col("va")).otherwise(col("vb")).as("vlo"),
+        greatest(col("id_a"), col("id_b")).as("hi"),
+        when(col("id_a") < col("id_b"), col("vb")).otherwise(col("va")).as("vhi"))
+      .select(col("cid"), col("lo").as("id_a"), col("vlo").as("va"),
+        col("hi").as("id_b"), col("vhi").as("vb"))
+    smallPairs.select(col("cid"), col("id_a"), col("va"), col("id_b"), col("vb"))
+      .unionByName(bigPairs)
+  }
+
   val q74SemanticDedup: Q = (s, d) => {
     val a = kmAssigned(s, d).select(col("vec_id"), col("cid"), col("v"))
-    val x = a.select(col("cid"), col("vec_id").as("id_a"), col("v").as("va"))
-    val y = a.select(col("cid"), col("vec_id").as("id_b"), col("v").as("vb"))
-    val dropped = x.join(y, Seq("cid"))
-      .filter(col("id_a") < col("id_b"))
+    val dropped = semPairs(a.select(col("cid"), col("vec_id"), col("v")))
       .withColumn("cosine", cos6(s, "va", "vb"))
       .filter(col("cosine") >= SemDedupTheta)
       .select(col("id_b").as("vec_id")).distinct()
@@ -692,8 +768,8 @@ object SimilarityQueries {
        |  FROM embeddings),
        |c0 AS (
        |  SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv FROM embd
-       |  WHERE vec_id < (SELECT greatest($KmKMin,
-       |    CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM embd)),
+       |  WHERE vec_id < (SELECT least(greatest($KmKMin,
+       |    CAST(ceil(sqrt(count(*))) AS BIGINT)), $KmKMax) FROM embd)),
        |$rounds,
        |${kmAssignCte(KmIters + 1, s"c$KmIters")}""".stripMargin
   }
