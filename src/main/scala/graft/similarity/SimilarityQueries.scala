@@ -227,9 +227,19 @@ object SimilarityQueries {
       .select(explode(transform(col("ids_b"), y =>
         struct(least(col("xa"), y).as("id_a"),
           greatest(col("xa"), y).as("id_b")))).as("p"))
+    // merge-hinted for the same reason semPairs is: Catalyst's size
+    // estimate for a Generate (explode) keeps the CHILD's sizeInBytes, so
+    // the planner statically under-counts the pair set by the whole
+    // expansion factor and picks a BROADCAST build for the verification
+    // joins downstream — measured as a driver OOM at the 30× probe, where
+    // clustered embeddings made the true pair volume ~1000× the estimate.
+    // At 100 TB neither the pair set nor the corpus it re-joins is ever
+    // broadcastable; the hint makes the shuffled join deterministic
+    // instead of stats-dependent.
     withinSingle.unionByName(withinMulti).unionByName(cross)
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
+      .hint("merge")
   }
 
   /** Bucket membership → one row per (bucket, chunk) with the chunk's
