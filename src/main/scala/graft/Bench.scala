@@ -176,6 +176,26 @@ object Bench {
       s""""dedup_unique":$unique,"ref_live_rate_eps":4}"""
   }
 
+  /** Monte Carlo at the reference's COMPARISON scale (round-7 verdict #8):
+    * 100k iterations × 500 games/iteration — `monte_carlo_comparison.py:39`'s
+    * config, 10× its interactive default — through `MonteCarlo.simulate`
+    * plus the full A17 `riskReport` aggregate (percentiles, ruin, VaR/CVaR,
+    * ratio means). Deterministic per-iteration seeds, so reps are
+    * identical work. SPARK_GRAFT_MC_ITERS tunes volume; 0 skips.
+    */
+  def mcBench(spark: SparkSession): String = {
+    val iters = sys.env.getOrElse("SPARK_GRAFT_MC_ITERS", "100000").toInt
+    if (iters <= 0) return """{"skipped":true}"""
+    val cfg = sim.MonteCarlo.SimConfig(
+      iterations = iters, gamesPerIteration = 500)
+    val sec = median((1 to 3).map(_ => time {
+      sim.MonteCarlo.riskReport(sim.MonteCarlo.simulate(spark, cfg)).collect()
+    }))
+    def r1(x: Double): Double = math.round(x * 10.0) / 10.0
+    s"""{"iterations":$iters,"games_per_iteration":500,"sec":${r1(sec)},""" +
+      s""""iterations_per_sec":${r1(iters / sec)}}"""
+  }
+
   def runQuery(spark: SparkSession, sfDir: String, name: String,
       fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): QResult = {
     // warm run: captures rows and any error; a broken query is never timed
@@ -253,11 +273,13 @@ object Bench {
     val subtotals =
       s"""{"idiomatic":${r3(idiomaticTotal)},"hash_family":${r3(hashTotal)}}"""
 
-    val streaming =
-      try streamingBench(spark)
+    def block(f: => String): String =
+      try f
       catch { case t: Throwable =>
         s"""{"err":${jstr(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(200)}")}}"""
       }
+    val streaming = block(streamingBench(spark))
+    val mc = block(mcBench(spark))
 
     // The canary goes out THREE ways on purpose (round-9 verdict #7: the
     // archived artifact kept only the tail of the main line, and the huge
@@ -265,10 +287,10 @@ object Bench {
     // from code regression): (1) its own line BEFORE the main line, (2) at
     // the very END of the main line, after `detail`, so a tail-truncated
     // artifact still carries it, (3) `streaming` rides in the tail too.
-    println(s"""{"canary":$canary,"streaming":$streaming}""")
+    println(s"""{"canary":$canary,"streaming":$streaming,"mc":$mc}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""errors":${results.count(_.err.nonEmpty)},"detail":$detail,""" +
-      s""""subtotals":$subtotals,"streaming":$streaming,"canary":$canary}""")
+      s""""subtotals":$subtotals,"streaming":$streaming,"mc":$mc,"canary":$canary}""")
     spark.stop()
   }
 }
