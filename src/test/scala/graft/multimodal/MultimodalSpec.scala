@@ -157,4 +157,34 @@ class MultimodalSpec extends SparkSpec {
       .map(f => (f.name, f.dataType)) ===
       Multimodal.mediaSchema.map(f => (f.name, f.dataType)))
   }
+
+  test("q75 golden query matches its closed-form oracle values in-suite") {
+    // the driver's hash gate (CORRECTNESS q75 row) is the primary signal;
+    // this pins the same 23 (item, metric, value) rows inside sbt test so
+    // a decode regression fails locally too, before any driver run
+    val got = MultimodalQueries.q75MultimodalDecode(spark, "")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(got.length === 23)
+    val m = got.map { case (i, k, v) => (i, k) -> v }.toMap
+    assert(m(("img_gray", "mean_intensity")) === 128.0)
+    assert(m(("img_gray", "intensity_std")) === 0.0)
+    assert(m(("img_grad", "mean_intensity")) === 112.0)
+    assert(m(("img_grad", "intensity_std")) === 73.3212) // √5376 to 4dp
+    assert(m(("img_grad", "edge_score")) === 0.0627)     // 16/255 to 4dp
+    assert(m(("audio_square", "rms")) === 0.5)
+    assert(m(("audio_square", "zcr")) === 1.0)
+    assert(m(("audio_dc", "rms")) === 0.25)
+    assert(m(("video_stub", "frame_count")) === 3.0)
+    assert(m(("img_gray", "resized_mean")) === 128.0) // constant survives resample
+  }
+
+  test("undecodable image bytes fail loudly, never silently zero") {
+    val rows = Seq(MediaRow(99L, "image", Array[Byte](1, 2, 3),
+      8, 8, 0, 0, 0, "png")).toDS()
+    val e = intercept[org.apache.spark.SparkException] {
+      imageFeatures(rows).collect()
+    }
+    assert(e.getMessage.contains("undecodable") ||
+      Option(e.getCause).exists(_.getMessage.contains("undecodable")))
+  }
 }
