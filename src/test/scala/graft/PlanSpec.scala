@@ -157,4 +157,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "one-row-per-entity rug side must broadcast")
   }
+
+  test("q51/q43: bucket-pair verification joins never broadcast the pair set") {
+    // the 30× probe's one crash (round 10): Catalyst's Generate (explode)
+    // size estimate keeps the pre-explosion child's sizeInBytes, so the
+    // statically-planned BROADCAST of the candidate-pair relation OOMs the
+    // driver the moment a corpus has real near-dup volume. bucketPairs is
+    // merge-hinted against that; this pins the hint in the plan — its
+    // silent removal would reintroduce a crash no sf0.001-sized test run
+    // can see.
+    for (name <- Seq("q51_rh_lsh_pairs", "q43_minhash_lsh_pairs")) {
+      val p = plan(name)
+      assert(p.contains("SortMergeJoin"),
+        s"$name verification join must be a shuffled merge join:\n${p.take(1500)}")
+    }
+  }
 }
