@@ -52,5 +52,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer: consolidate repeated same-column get_json_object calls
     // into one json_tuple parse (SURVEY §4's optional rule)
     ext.injectOptimizerRule(_ => graft.plans.ConsolidateJsonGets)
+    // optimizer: Catalyst's size estimate for Generate keeps the child's
+    // sizeInBytes, so exploded relations under-count by the expansion
+    // factor and get statically broadcast — the bug class behind the q51
+    // 30× OOM. The guard pins NO_BROADCAST_HASH on Generate-derived join
+    // sides (explicit hints and Limits opt out).
+    ext.injectOptimizerRule(_ => graft.plans.GenerateStatsGuard)
   }
 }

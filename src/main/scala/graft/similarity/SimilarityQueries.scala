@@ -227,19 +227,20 @@ object SimilarityQueries {
       .select(explode(transform(col("ids_b"), y =>
         struct(least(col("xa"), y).as("id_a"),
           greatest(col("xa"), y).as("id_b")))).as("p"))
-    // merge-hinted for the same reason semPairs is: Catalyst's size
-    // estimate for a Generate (explode) keeps the CHILD's sizeInBytes, so
-    // the planner statically under-counts the pair set by the whole
-    // expansion factor and picks a BROADCAST build for the verification
-    // joins downstream — measured as a driver OOM at the 30× probe, where
-    // clustered embeddings made the true pair volume ~1000× the estimate.
-    // At 100 TB neither the pair set nor the corpus it re-joins is ever
-    // broadcastable; the hint makes the shuffled join deterministic
-    // instead of stats-dependent.
+    // No hint needed against a statically-broadcast pair set: Catalyst's
+    // size estimate for a Generate (explode) keeps the CHILD's
+    // sizeInBytes, so the planner used to under-count the pair set by the
+    // whole expansion factor and pick a BROADCAST build for the
+    // verification joins downstream — measured as a driver OOM at the 30×
+    // probe, where clustered embeddings made the true pair volume ~1000×
+    // the estimate. plans.GenerateStatsGuard now pins NO_BROADCAST_HASH
+    // on every Generate-derived join side at the optimizer level (the r10
+    // hand-placed `hint("merge")` here guarded only this one site, and
+    // leaked join-hint warnings when the pair set was consumed without a
+    // join). PlanSpec still pins the SortMergeJoin in q43/q51's plans.
     withinSingle.unionByName(withinMulti).unionByName(cross)
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
-      .hint("merge")
   }
 
   /** Bucket membership → one row per (bucket, chunk) with the chunk's
@@ -710,13 +711,16 @@ object SimilarityQueries {
       explode(sequence(lit(0), col("chunk"))).as("ca"),
       col("chunk").as("cb"),
       col("vec_id").as("id_b"), col("v").as("vb"))
-    // merge-hinted: the grid path only carries data when a cluster
-    // overflows a chunk, i.e. when the relations are big by construction —
-    // a broadcast pick (plausible under stale stats, certain on a small
-    // probe) would collapse the whole expansion back into the tasks that
-    // hold aSide, undoing the distribution the grid exists for. The hint
-    // forces both sides to exchange on (cid, ca, cb), which IS the spread.
-    val bigPairs = aSide.join(bSide.hint("merge"), Seq("cid", "ca", "cb"))
+    // Never broadcast either grid side: the grid path only carries data
+    // when a cluster overflows a chunk, i.e. when the relations are big
+    // by construction — a broadcast pick (plausible under stale stats,
+    // certain on a small probe) would collapse the whole expansion back
+    // into the tasks that hold aSide, undoing the distribution the grid
+    // exists for. Both sides are Generate-derived (explode(sequence)),
+    // so plans.GenerateStatsGuard pins NO_BROADCAST_HASH on them and the
+    // join exchanges on (cid, ca, cb) — which IS the spread. (r10 used a
+    // hand-placed merge hint here; the guard covers the whole bug class.)
+    val bigPairs = aSide.join(bSide, Seq("cid", "ca", "cb"))
       .filter(col("ca") < col("cb") || col("id_a") < col("id_b"))
       .select(col("cid"),
         least(col("id_a"), col("id_b")).as("lo"),

@@ -162,10 +162,12 @@ class PlanSpec extends SparkSpec {
     // the 30× probe's one crash (round 10): Catalyst's Generate (explode)
     // size estimate keeps the pre-explosion child's sizeInBytes, so the
     // statically-planned BROADCAST of the candidate-pair relation OOMs the
-    // driver the moment a corpus has real near-dup volume. bucketPairs is
-    // merge-hinted against that; this pins the hint in the plan — its
-    // silent removal would reintroduce a crash no sf0.001-sized test run
-    // can see.
+    // driver the moment a corpus has real near-dup volume. Since round 11
+    // plans.GenerateStatsGuard pins NO_BROADCAST_HASH on Generate-derived
+    // join sides at the optimizer level (replacing r10's hand-placed merge
+    // hint in bucketPairs); this pins the resulting plan — a silent loss
+    // of the guard would reintroduce a crash no sf0.001-sized test run
+    // can see. GenerateStatsGuardSpec unit-tests the rule itself.
     for (name <- Seq("q51_rh_lsh_pairs", "q43_minhash_lsh_pairs")) {
       val p = plan(name)
       assert(p.contains("SortMergeJoin"),

@@ -3,7 +3,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Shared local SparkSession for specs (one JVM-wide session, UTC, AQE on). */
+/** Shared local SparkSession for specs (one JVM-wide session, UTC, AQE on).
+  * Built WITH GraftExtensions so every spec sees the shipped session shape —
+  * the optimizer rules (ConsolidateJsonGets, GenerateStatsGuard) are part of
+  * the engine, and a plan assertion that passes without them tests a session
+  * no user runs.
+  */
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
 }
@@ -17,6 +22,7 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
