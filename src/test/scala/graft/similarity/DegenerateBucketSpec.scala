@@ -95,12 +95,45 @@ class DegenerateBucketSpec extends SparkSpec {
       assert(taskSpread > 1,
         s"cross-chunk rows of one bucket landed in $taskSpread task(s)")
       // and the physical plan carries the full-key exchange, so the spread
-      // is the planner's doing, not an accident of input layout
+      // is the planner's doing, not an accident of input layout. Match the
+      // chunk columns INSIDE the partitioning clause — a bare
+      // plan.contains("ca") is vacuously true ("Scan", "cast", ...).
       val plan = cross.queryExecution.executedPlan.toString
-      assert(plan.contains("hashpartitioning(band"),
-        "expected an explicit repartition exchange in the cross-chunk plan")
-      assert(Seq("ca", "cb").forall(plan.contains),
-        "exchange must hash on the full (band, bkey, ca, cb) chunk key")
+      assert("""hashpartitioning\(band[^)]*ca[^)]*cb""".r
+          .findFirstIn(plan).isDefined,
+        s"exchange must hash on the full (band, bkey, ca, cb) chunk key:\n" +
+          plan.take(1500))
+    } finally spark.conf.set(coalesceKey, prev)
+  }
+
+  test("one bucket's JOIN OUTPUT is produced by >1 task (no serial writer)") {
+    // r10's residual: with the cross-chunk self-join keyed on bare
+    // (band, bkey), the one task owning a degenerate bucket's key produced
+    // — and shuffle-wrote — the entire (ca, cb) grid (~4 GB at k=10⁶)
+    // before the downstream repartition spread the compute. The join now
+    // keys on (band, bkey, ca) via map-side replication of the b side, so
+    // the grid rows of ONE bucket must come out of multiple join tasks.
+    // spark_partition_id() on crossChunkJoined (BEFORE the repartition)
+    // reads the join's own output partitioning.
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey, "true")
+    spark.conf.set(coalesceKey, "false")
+    try {
+      val rows = (1L to 300L).map(id => (id, 0, 42L)) // one bucket, 19 chunks
+      val chunked = SimilarityQueries.chunkedBuckets(banded(rows), chunkSize = 16)
+      val joined = SimilarityQueries.crossChunkJoined(chunked)
+      val writers = joined
+        .select(spark_partition_id().as("pid")).distinct().count()
+      assert(writers > 1,
+        s"one bucket's chunk-pair grid was produced by $writers task(s) — " +
+          "the serial shuffle write is back")
+      // grid completeness: every unordered (ca, cb) chunk pair exactly once
+      val grid = joined.select("ca", "cb").as[(Long, Long)].collect()
+      val nchunks = chunked.agg(max("nchunks")).as[Int].head()
+      assert(grid.forall { case (a, b) => a < b }, "diagonal or flipped pair")
+      assert(grid.toSet.size === grid.length, "duplicate chunk pair")
+      assert(grid.length === nchunks * (nchunks - 1) / 2,
+        s"expected c($nchunks,2) chunk pairs, got ${grid.length}")
     } finally spark.conf.set(coalesceKey, prev)
   }
 }
