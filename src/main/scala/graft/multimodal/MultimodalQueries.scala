@@ -31,9 +31,12 @@ import org.apache.spark.sql.functions._
   * mapPartitions), `resizeImages` (bilinear + PNG re-encode, then a second
   * decode proves the roundtrip), `sampleFrames` (stub) — and unpivots the
   * tiny feature relation to (item, metric, value) rows, value rounded to
-  * 4 dp to absorb float noise in the luma dot product. Reference behavior:
-  * media asset statistics panel, `src/recording_ui/services/assets.py`
-  * (thumbnail + waveform stats).
+  * 4 dp to absorb float noise in the luma dot product. Since round 11 the
+  * fixtures are first written through `EventStore.write` and scanned back
+  * with `EventStore.read`, so the binary column's PARQUET round-trip (the
+  * store's actual on-disk shape for media) is on the same hard gate as
+  * the decoders. Reference behavior: media asset statistics panel,
+  * `src/recording_ui/services/assets.py` (thumbnail + waveform stats).
   */
 object MultimodalQueries {
 
@@ -46,7 +49,7 @@ object MultimodalQueries {
 
   val q75MultimodalDecode: Q = (s, _) => {
     import s.implicits._
-    val media = s.createDataset(Seq(
+    val fixtures = s.createDataset(Seq(
       Multimodal.MediaRow(1L, "image", resource("img_gray_8x8.png"),
         8, 8, 0, 0, 0, "png"),
       Multimodal.MediaRow(2L, "image", resource("img_grad_8x8.png"),
@@ -56,7 +59,28 @@ object MultimodalQueries {
       Multimodal.MediaRow(4L, "audio", resource("audio_dc_800.wav"),
         0, 0, 8000, 800, 0, "wav"),
       Multimodal.MediaRow(5L, "video", Array.fill[Byte](64)(42),
-        16, 16, 0, 0, 10, "mp4"))).repartition(3)
+        16, 16, 0, 0, 10, "mp4")))
+    // Round-trip the media relation through the STORE before decoding:
+    // the store's on-disk shape for media is a binary column in
+    // (doc_type, date)-partitioned parquet, and until round 11 the gated
+    // path decoded straight from an in-memory Dataset — a binary-column
+    // parquet round-trip regression (encoder, store writer, or scan)
+    // could not trip q75. Now the fixtures are written via
+    // EventStore.write, scanned back via EventStore.read, and every
+    // decode below reads its bytes off parquet files.
+    val dir = java.nio.file.Files.createTempDirectory("graft-q75-store")
+    dir.toFile.deleteOnExit()
+    graft.store.EventStore.write(
+      fixtures.toDF()
+        .withColumn("doc_type", col("kind"))
+        .withColumn("ts", lit("2026-01-01 00:00:00")),
+      dir.toString, org.apache.spark.sql.SaveMode.Overwrite)
+    val media = graft.store.EventStore.read(s, dir.toString)
+      .select(col("media_id"), col("kind"), col("bytes"), col("width"),
+        col("height"), col("sample_rate"), col("n_samples"),
+        col("n_frames"), col("format"))
+      .as[Multimodal.MediaRow]
+      .repartition(3)
     val names = Seq(
       (1L, "img_gray"), (2L, "img_grad"), (3L, "audio_square"),
       (4L, "audio_dc"), (5L, "video_stub")).toDF("media_id", "item")
