@@ -633,7 +633,16 @@ object SimilarityQueries {
   // fix: a corpus of near-identical embeddings puts everything in ONE
   // cluster at any K).
   val KmKMin = 8
-  val KmKMax = 65536
+  /** 2^16 by default; `SPARK_GRAFT_KMKMAX` overrides for scaling probes —
+    * the real cap binds at N ≈ 4·10^9 vectors (unreachable locally), so
+    * the capped-K regime (assignment linear in N, clusters growing as
+    * N/K) can only be MEASURED by forcing a small cap on a scaled corpus.
+    * Read once at class init; the generated q69/q74 oracle SQL
+    * interpolates the same value, so Spark and DuckDB derive the same K
+    * under any override (oracle parity is preserved by construction).
+    */
+  val KmKMax: Int =
+    sys.env.get("SPARK_GRAFT_KMKMAX").map(_.toInt).getOrElse(65536)
   val KmIters = 2
   private[graft] def kmK(n: Long): Int =
     math.min(math.max(KmKMin, math.ceil(math.sqrt(n.toDouble)).toInt), KmKMax)
