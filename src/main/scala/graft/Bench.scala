@@ -108,8 +108,14 @@ object Bench {
     *     (flatMapGroupsWithState seq/phase machine) → doc_type classify →
     *     Hive-partitioned parquet sink with checkpoint, one AvailableNow
     *     drain — the exact `Ingest.start` path, including sink commit and
-    *     state-store costs. Row count is verified against the sink after
-    *     the clock stops (a dropped event would fake throughput).
+    *     state-store costs. The sink count is VERIFIED against n (the
+    *     Normalizer is 1-in-1-out) and emitted as `ingest_rows_ok` — a
+    *     dropped event would otherwise fake throughput.
+    *   - restart: the same pipeline killed mid-stream (query stopped once
+    *     ~half the input is processed) and restarted from its checkpoint;
+    *     `restart_recovery_sec` is the drain time of the second run and
+    *     `exactly_once` asserts the sink holds exactly n rows — no replay
+    *     of committed batches, no loss of the in-flight one.
     *   - dedup: 10× game-history re-emissions through
     *     `dedupGameHistory` (watermark + dropDuplicatesWithinWatermark)
     *     into a memory sink; unique count verified.
@@ -153,7 +159,52 @@ object Bench {
       Ingest.start(ingestIn.toDS(), out, tmp("graft-bench-ingest-ckpt"),
         Trigger.AvailableNow()).awaitTermination()
     }
+    // the Normalizer emits exactly ONE row per raw event, so the sink must
+    // hold n rows — a state-machine regression that dropped events would
+    // otherwise silently inflate events/s (r10 ADVICE: the count used to
+    // be reported, not verified)
     val written = spark.read.parquet(out).count()
+    val rowsOk = written == n.toLong
+
+    // kill-and-restart leg: same pipeline on fresh dirs, fed LIVE in
+    // blocks under a short ProcessingTime trigger (AvailableNow over a
+    // pre-filled MemoryStream drains in one batch — nothing left to
+    // kill), query STOPPED once ~half the input is committed, then
+    // restarted from the checkpoint and drained. The sink-commit log
+    // must make the rerun exactly-once (n rows total: no replay of
+    // committed batches, no loss of the in-flight one);
+    // restart_recovery_sec is the restart-to-drained time.
+    val rIn = MemoryStream[RawEvent]
+    val rOut = tmp("graft-bench-restart-out")
+    val rCkpt = tmp("graft-bench-restart-ckpt")
+    val blockSz = 20000
+    val blocks = events.grouped(blockSz).toSeq
+    rIn.addData(blocks.head: _*)
+    val q1 = Ingest.start(rIn.toDS(), rOut, rCkpt,
+      Trigger.ProcessingTime("100 milliseconds"))
+    def processed(): Long = q1.recentProgress.map(_.numInputRows).sum
+    val feeder = blocks.tail.iterator
+    var added = blockSz.toLong
+    // feed at most one unprocessed block ahead: MemoryStream has no
+    // maxOffsetsPerTrigger, so dumping everything up front lets batch 2
+    // swallow the whole remainder and the "kill" lands after the last
+    // commit (observed: killed_after == n, recovery 0.1 s — a no-op test)
+    while (q1.isActive && processed() < n / 2) {
+      if (feeder.hasNext && processed() >= added - blockSz) {
+        rIn.addData(feeder.next(): _*); added += blockSz
+      }
+      Thread.sleep(5)
+    }
+    q1.stop()
+    q1.awaitTermination()
+    val killedAfter = processed()
+    feeder.foreach(b => rIn.addData(b: _*)) // the rest arrives before restart
+    val recoverySec = time {
+      Ingest.start(rIn.toDS(), rOut, rCkpt, Trigger.AvailableNow())
+        .awaitTermination()
+    }
+    val rWritten = spark.read.parquet(rOut).count()
+    val exactlyOnce = rWritten == n.toLong
 
     val games = (0 until n).map { i => // each game re-emitted 10×
       (s"g${i / 10}", new java.sql.Timestamp(base + i.toLong * 5))
@@ -170,7 +221,10 @@ object Bench {
     def r1(x: Double): Double = math.round(x * 10.0) / 10.0
     s"""{"ingest_events":$n,"ingest_sec":${r1(ingestSec)},""" +
       s""""ingest_events_per_sec":${r1(n / ingestSec)},""" +
-      s""""ingest_rows_written":$written,""" +
+      s""""ingest_rows_written":$written,"ingest_rows_ok":$rowsOk,""" +
+      s""""restart_killed_after_rows":$killedAfter,""" +
+      s""""restart_recovery_sec":${r1(recoverySec)},""" +
+      s""""restart_rows_written":$rWritten,"exactly_once":$exactlyOnce,""" +
       s""""dedup_events":$n,"dedup_sec":${r1(dedupSec)},""" +
       s""""dedup_events_per_sec":${r1(n / dedupSec)},""" +
       s""""dedup_unique":$unique,"ref_live_rate_eps":4}"""
