@@ -23,7 +23,9 @@ import org.apache.spark.sql.SparkSession
   *     regressions.
   *   - Each query is timed median-of-3 with per-query {sec, rows, err, reps}
   *     in `detail` — a query that throws records its error and sec=-1
-  *     instead of silently timing a broken second run.
+  *     instead of silently timing a broken second run. `detail` is also
+  *     written to `BENCH_detail.json` (override: SPARK_GRAFT_DETAIL_OUT) so
+  *     the full per-query board survives the archive's tail truncation.
   *   - `subtotals` separates the idiomatic board from the hash family
   *     (q42/q43/q44/q48/q63), whose DuckDB oracles execute our generated
   *     hash chain and therefore do not measure a comparable engine
@@ -342,6 +344,21 @@ object Bench {
     // the very END of the main line, after `detail`, so a tail-truncated
     // artifact still carries it, (3) `streaming` rides in the tail too.
     println(s"""{"canary":$canary,"streaming":$streaming,"mc":$mc}""")
+    // Per-query history survives tail truncation by living in its OWN file
+    // (round-10 verdict #4): the archived BENCH_rNN.json keeps only the
+    // main line's tail, so round-over-round comparison covered ~13 of 73
+    // queries. BENCH_detail.json in the cwd (the repo root under the
+    // driver) is swept into the driver's artifact commit, giving git the
+    // full board every round. Written before the final println and
+    // best-effort: an unwritable cwd must not kill the bench contract.
+    val detailOut = sys.env.getOrElse("SPARK_GRAFT_DETAIL_OUT", "BENCH_detail.json")
+    if (detailOut.nonEmpty) try {
+      val w = new java.io.PrintWriter(detailOut, "UTF-8")
+      try w.println(
+        s"""{"sf":${jstr(sfDir)},"errors":${results.count(_.err.nonEmpty)},""" +
+        s""""canary":$canary,"subtotals":$subtotals,"detail":$detail}""")
+      finally w.close()
+    } catch { case _: java.io.IOException => () }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""errors":${results.count(_.err.nonEmpty)},"detail":$detail,""" +
       s""""subtotals":$subtotals,"streaming":$streaming,"mc":$mc,"canary":$canary}""")
