@@ -425,12 +425,17 @@ object TextQueries {
   // construction); the prefix fingerprint is the same relational shape at
   // any key. Scale shape: documents collapse to (md5(prefix), source,
   // count) FIRST — one groupBy of 16-byte keys — and the pair join runs on
-  // that tiny digest relation, never on documents.
+  // that tiny digest relation, never on documents. The split carries
+  // limit = prefix+1 so the scan allocates 9 strings per doc, not one per
+  // token: the first `limit - 1` elements of a limited split are identical
+  // to the unlimited ones (the remainder lands in the last element, which
+  // the slice drops), and fingerprinting must not pay O(doc tokens).
   val BoilerplatePrefixTokens = 8
   val q61SourceDupMatrix: Q = (s, d) => {
+    val prefixToks = split(col("text"), " ", BoilerplatePrefixTokens + 1)
     val h = Tables.documents(s, d)
       .groupBy(
-        md5(array_join(slice(toks, 1, BoilerplatePrefixTokens), " ")).as("h"),
+        md5(array_join(slice(prefixToks, 1, BoilerplatePrefixTokens), " ")).as("h"),
         col("source"))
       .agg(count(lit(1)).as("c"))
     val a = h.select(col("h"), col("source").as("source_a"), col("c").as("ca"))
