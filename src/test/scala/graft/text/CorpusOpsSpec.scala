@@ -31,6 +31,33 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.map(_._2).toSeq === ids.indices.map(_.toLong))
   }
 
+  test("q61: limited-split prefix fingerprint equals the unlimited one") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q61").toString
+    val p = TextQueries.BoilerplatePrefixTokens
+    // the edge shapes a limit can get wrong: fewer tokens than the prefix,
+    // exactly the prefix, prefix+1 (remainder lands in the limit slot),
+    // consecutive/trailing spaces (empty tokens count), and a long tail
+    corpus(dir,
+      (1L, "one two", "a"),
+      (2L, (1 to p).map("t" + _).mkString(" "), "a"),
+      (3L, (1 to p + 1).map("t" + _).mkString(" "), "a"),
+      (4L, "a  b   c " + ("x " * 40).trim, "b"),
+      (5L, ("w " * 500).trim, "b"),
+      (6L, "one two", "b")) // cross-source duplicate: must land in output
+    val got = TextQueries.q61SourceDupMatrix(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // docs 2/3 share their first 8 tokens within source a (diagonal);
+    // docs 1/6 share the full short text across sources (off-diagonal)
+    assert(got.toSeq === Seq(("a", "a", 1L), ("a", "b", 1L)))
+    // the fingerprint itself must be byte-identical to the unlimited split
+    val docs = graft.Tables.documents(spark, dir)
+    val unlimited = md5(array_join(slice(split(col("text"), " "), 1, p), " "))
+    val limited =
+      md5(array_join(slice(split(col("text"), " ", p + 1), 1, p), " "))
+    val mismatches = docs.filter(unlimited =!= limited).count()
+    assert(mismatches === 0L, "limited split changed a fingerprint")
+  }
+
   test("q65: ranks are 1..k per doc, scores descend, and match tf*ln(N/df)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-tfidf").toString
     // 4 docs, 'common' in all (idf = ln(1) = 0), 'rare' only in doc 1
