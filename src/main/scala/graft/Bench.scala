@@ -21,11 +21,14 @@ import org.apache.spark.sql.SparkSession
   *     values measured on a healthy machine. `canary.health` > ~2 means the
   *     MACHINE is slow and the per-query numbers must not be read as code
   *     regressions.
-  *   - Each query is timed median-of-3 with per-query {sec, rows, err, reps}
-  *     in `detail` — a query that throws records its error and sec=-1
-  *     instead of silently timing a broken second run. `detail` is also
-  *     written to `BENCH_detail.json` (override: SPARK_GRAFT_DETAIL_OUT) so
-  *     the full per-query board survives the archive's tail truncation.
+  *   - Each query is timed median-of-3 with per-query {sec, rows, err, reps,
+  *     cpu_reps} in `detail` — a query that throws records its error and
+  *     sec=-1 instead of silently timing a broken second run. `cpu_reps` is
+  *     summed executor-task CPU seconds per rep (a `CpuTally` listener):
+  *     the noise-immune companion to wall-clock for growth exponents on a
+  *     shared host. `detail` is also written to `BENCH_detail.json`
+  *     (override: SPARK_GRAFT_DETAIL_OUT) so the full per-query board
+  *     survives the archive's tail truncation.
   *   - `subtotals` separates the idiomatic board from the hash family
   *     (q42/q43/q44/q48/q63), whose DuckDB oracles execute our generated
   *     hash chain and therefore do not measure a comparable engine
@@ -101,7 +104,36 @@ object Bench {
     } + "\""
 
   final case class QResult(name: String, sec: Double, rows: Long,
-      err: Option[String], reps: Seq[Double])
+      err: Option[String], reps: Seq[Double], cpuReps: Seq[Double] = Nil)
+
+  /** Sums executor CPU nanoseconds across finished tasks. Wall-clock on a
+    * shared host is hostage to the neighbors (the 100× probe watched
+    * identical reps span 3.3–70 s while the canary swung 0.67–2.64 between
+    * runs); task CPU time is not charged hypervisor steal or another
+    * tenant's load, so growth exponents derived from `cpu_reps` survive a
+    * noisy box that makes `reps` unreadable.
+    */
+  final class CpuTally extends org.apache.spark.scheduler.SparkListener {
+    val ns = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) ns.addAndGet(m.executorCpuTime)
+    }
+    /** Listener events arrive on a bus AFTER the action returns; the public
+      * API has no drain hook, so poll until the counter stops moving (10 ms
+      * grain, 2 s cap — a bench-only cost, never on a library path).
+      */
+    def settled(): Long = {
+      var prev = -1L
+      var cur = ns.get()
+      var spins = 0
+      while (cur != prev && spins < 200) {
+        prev = cur; Thread.sleep(10); cur = ns.get(); spins += 1
+      }
+      cur
+    }
+  }
 
   /** Streaming throughput probe (round-7 verdict item #5): end-to-end
     * sustained events/s through the LIVE pipeline, measured, not claimed.
@@ -253,7 +285,8 @@ object Bench {
   }
 
   def runQuery(spark: SparkSession, sfDir: String, name: String,
-      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): QResult = {
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+      tally: Option[CpuTally] = None): QResult = {
     // warm run: captures rows and any error; a broken query is never timed
     val warm =
       try Right(fn(spark, sfDir).count())
@@ -263,8 +296,15 @@ object Bench {
     warm match {
       case Left(err) => QResult(name, -1.0, -1L, Some(err), Nil)
       case Right(rows) =>
-        val reps = (1 to 3).map(_ => time { fn(spark, sfDir).count() })
-        QResult(name, median(reps), rows, None, reps)
+        val timed = (1 to 3).map { _ =>
+          val cpu0 = tally.map(_.settled())
+          val wall = time { fn(spark, sfDir).count() }
+          val cpu = tally.map(t => (t.settled() - cpu0.get) / 1e9)
+          (wall, cpu)
+        }
+        val reps = timed.map(_._1)
+        QResult(name, median(reps), rows, None, reps,
+          timed.flatMap(_._2))
     }
   }
 
@@ -291,9 +331,11 @@ object Bench {
     // the full 73-query board at every probe scale would be hours, not data)
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val tally = new CpuTally
+    spark.sparkContext.addSparkListener(tally)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) => runQuery(spark, sfDir, name, fn) }
+      .map { case (name, fn) => runQuery(spark, sfDir, name, fn, Some(tally)) }
 
     // post-sweep canary: detects machine state that degraded DURING the run
     val canCpuAfter = canaryCpu(spark)
@@ -315,7 +357,10 @@ object Bench {
     val detail = results.map { r =>
       jstr(r.name) + ":{\"sec\":" + r.sec + ",\"rows\":" + r.rows +
         ",\"err\":" + r.err.map(jstr).getOrElse("null") +
-        ",\"reps\":" + r.reps.mkString("[", ",", "]") + "}"
+        ",\"reps\":" + r.reps.mkString("[", ",", "]") +
+        ",\"cpu_reps\":" +
+        r.cpuReps.map(c => math.round(c * 1000.0) / 1000.0)
+          .mkString("[", ",", "]") + "}"
     }.mkString("{", ",", "}")
     // rounded via math.round, NOT the f-interpolator: f"" formats with the
     // JVM default locale, and a comma-decimal locale would emit invalid JSON

@@ -30,6 +30,25 @@ class BenchSpec extends AnyFunSuite {
     assert(r.reps.isEmpty)
   }
 
+  test("cpu tally attributes executor CPU to each rep") {
+    val spark = SparkSpec.session
+    val tally = new Bench.CpuTally
+    spark.sparkContext.addSparkListener(tally)
+    try {
+      val r = Bench.runQuery(spark, "unused", "range",
+        (s, _) => s.range(2000000).selectExpr("id * 2 as x").toDF(),
+        Some(tally))
+      assert(r.err.isEmpty)
+      assert(r.cpuReps.size === 3)
+      // every rep burns SOME task CPU, and task CPU can't exceed
+      // wall x parallelism (sanity that the units are seconds, not ns)
+      r.cpuReps.zip(r.reps).foreach { case (cpu, wall) =>
+        assert(cpu > 0.0, s"rep burned no CPU: ${r.cpuReps}")
+        assert(cpu < wall * 64 + 1.0, s"cpu $cpu implausible vs wall $wall")
+      }
+    } finally spark.sparkContext.removeSparkListener(tally)
+  }
+
   test("canary reference values stay committed and sane") {
     assert(Bench.CanaryRefCpuSec > 0 && Bench.CanaryRefCpuSec < 5)
     assert(Bench.CanaryRefScanSec > 0 && Bench.CanaryRefScanSec < 5)
