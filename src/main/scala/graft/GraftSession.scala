@@ -9,6 +9,18 @@ import org.apache.spark.sql.SparkSession
   * `shufflePartitions` should track executor-core count locally; on a real
   * cluster size it so a post-shuffle partition of the largest stage fits in
   * executor memory (AQE coalescing then trims the small stages).
+  *
+  * Measured and DISCARDED (round 11): raising
+  * `spark.sql.adaptive.coalescePartitions.initialPartitionNum` to
+  * 16× cores so big stages keep finer grain while AQE coalesces small
+  * ones. Motivation was q52's per-row CPU climbing 1.5→2.2 µs across the
+  * 30×→100× octave (100× the rows into the same 32 window sorts); the
+  * serialized A/B at 100× showed the win is confined to that shape
+  * (q52 wall 1.61→1.41 s) while every chained-shuffle plan pays the
+  * 512-way map-side fan-out repeatedly — q63 task CPU 296→720 s, q04
+  * 87→195 s. On a real cluster the knob to move is `shufflePartitions`
+  * itself, sized so the largest stage's post-shuffle partition fits in
+  * executor memory — which this builder already parameterizes.
   */
 object GraftSession {
 
