@@ -408,6 +408,23 @@ object SimilarityQueries {
   // set on a 10k+-member degenerate bucket). At 100 TB only (doc_id,
   // band, 16-bit band value) rows shuffle; signatures are re-derived
   // scan-side for the few surviving pairs, like q43's verification joins.
+  //
+  // Measured saturation bound (round-11 100× probe): a 16-bit band space
+  // holds 2^16 values, so INCIDENTAL candidates — unrelated docs randomly
+  // sharing one band — total ~4·C(N/2^16, 2)·2^16 ≈ N²/2^15 pairs once
+  // N > ~10^6 and every bucket is occupied. Fresh-JVM task CPU grew 9.6×
+  // across the 30×→100× octave (36.6 s → 352 s; 3.33× docs), matching
+  // the N²/2^16 collision arithmetic (predicted 10.9×) — the growth is
+  // candidate enumeration, uniformly spread (no task hotspot; the skew
+  // machinery above is orthogonal and healthy). Raising SimBandBits
+  // trades the Hamming<=3 pigeonhole guarantee; the published fix that
+  // keeps it is permutation-sort adjacency (Manku, Jain & Das Sarma,
+  // WWW'07 §3): replicate each signature under b bit-rotations, SORT
+  // each run and scan a fixed neighbor window — N log N per permutation
+  // at any N, expressible as b sortWithinPartitions + window scans. At
+  // the corpus sizes this library is oracle-gated on (N <= 10^6),
+  // banding is the cheaper plan by a wide margin; past ~10^7 docs the
+  // crossover favors the sorted variant.
   val SimHammingMax = 3
   private val SimBandBits = 16
   private val SimNumBands = 64 / SimBandBits
