@@ -26,9 +26,9 @@ import org.apache.spark.sql.SparkSession
   *     sec=-1 instead of silently timing a broken second run. `cpu_reps` is
   *     summed executor-task CPU seconds per rep (a `CpuTally` listener):
   *     the noise-immune companion to wall-clock for growth exponents on a
-  *     shared host. `detail` is also written to `BENCH_detail.json`
-  *     (override: SPARK_GRAFT_DETAIL_OUT) so the full per-query board
-  *     survives the archive's tail truncation.
+  *     shared host. `detail` is written ONLY to `BENCH_detail.json`
+  *     (override: SPARK_GRAFT_DETAIL_OUT) — never to the stdout contract
+  *     line, which must stay small enough for the driver's parser.
   *   - `subtotals` separates the idiomatic board from the hash family
   *     (q42/q43/q44/q48/q63), whose DuckDB oracles execute our generated
   *     hash chain and therefore do not measure a comparable engine
@@ -121,15 +121,23 @@ object Bench {
       if (m != null) ns.addAndGet(m.executorCpuTime)
     }
     /** Listener events arrive on a bus AFTER the action returns; the public
-      * API has no drain hook, so poll until the counter stops moving (10 ms
-      * grain, 2 s cap — a bench-only cost, never on a library path).
+      * API has no drain hook, so poll until the counter stops moving. A
+      * single 10 ms quiet gap is too easy a bar on a contended host — a
+      * straggler task-end landing 11 ms after its predecessor would leak
+      * that task's CPU into the NEXT rep's baseline — so "settled" now
+      * requires 3 consecutive stable polls (30 ms of silence; 2 s cap).
+      * Attribution grain stays task-end events: an event the bus DROPS
+      * under extreme load is lost to the tally entirely, which is why
+      * cpu_reps is read as min-of-reps, not a sum.
       */
     def settled(): Long = {
       var prev = -1L
       var cur = ns.get()
+      var stable = 0
       var spins = 0
-      while (cur != prev && spins < 200) {
+      while (stable < 3 && spins < 200) {
         prev = cur; Thread.sleep(10); cur = ns.get(); spins += 1
+        if (cur == prev) stable += 1 else stable = 0
       }
       cur
     }
@@ -404,8 +412,13 @@ object Bench {
         s""""canary":$canary,"subtotals":$subtotals,"detail":$detail}""")
       finally w.close()
     } catch { case _: java.io.IOException => () }
+    // The main line stays SLIM on purpose (round-11 verdict #1: embedding
+    // the full 73-query `detail` block pushed the line past the driver
+    // archive's tail window and `"parsed": null`-ed the round's artifact).
+    // `detail` lives only in BENCH_detail.json; the stdout contract line
+    // carries the summary fields the driver parses.
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-      s""""errors":${results.count(_.err.nonEmpty)},"detail":$detail,""" +
+      s""""errors":${results.count(_.err.nonEmpty)},""" +
       s""""subtotals":$subtotals,"streaming":$streaming,"mc":$mc,"canary":$canary}""")
     spark.stop()
   }

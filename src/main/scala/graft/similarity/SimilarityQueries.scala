@@ -414,7 +414,7 @@ object SimilarityQueries {
   // sharing one band — total ~4·C(N/2^16, 2)·2^16 ≈ N²/2^15 pairs once
   // N > ~10^6 and every bucket is occupied. Fresh-JVM task CPU grew 9.6×
   // across the 30×→100× octave (36.6 s → 352 s; 3.33× docs), matching
-  // the N²/2^16 collision arithmetic (predicted 10.9×) — the growth is
+  // the N²/2^15 collision arithmetic (predicted 10.9×) — the growth is
   // candidate enumeration, uniformly spread (no task hotspot; the skew
   // machinery above is orthogonal and healthy). Raising SimBandBits
   // trades the Hamming<=3 pigeonhole guarantee; the published fix that

@@ -41,10 +41,14 @@ class BenchSpec extends AnyFunSuite {
       assert(r.err.isEmpty)
       assert(r.cpuReps.size === 3)
       // every rep burns SOME task CPU, and task CPU can't exceed
-      // wall x parallelism (sanity that the units are seconds, not ns)
+      // wall x parallelism (sanity that the units are seconds, not ns);
+      // the ceiling derives from the session's actual parallelism (x2
+      // slack) so a wider test host can't fail it spuriously
+      val maxPar = spark.sparkContext.defaultParallelism
       r.cpuReps.zip(r.reps).foreach { case (cpu, wall) =>
         assert(cpu > 0.0, s"rep burned no CPU: ${r.cpuReps}")
-        assert(cpu < wall * 64 + 1.0, s"cpu $cpu implausible vs wall $wall")
+        assert(cpu < wall * maxPar * 2 + 1.0,
+          s"cpu $cpu implausible vs wall $wall at parallelism $maxPar")
       }
     } finally spark.sparkContext.removeSparkListener(tally)
   }
