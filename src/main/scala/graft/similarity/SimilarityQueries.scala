@@ -877,7 +877,27 @@ object SimilarityQueries {
   // cos 0.9 ⇒ ~75% pair recall vs ~8% unbanded), exact-cosine verification
   // of the surviving candidates. Only (vec_id, band, byte) rows shuffle;
   // vectors are re-joined just for the bucket pairs.
-  val q51RhLshPairs: Q = (s, d) => {
+  val q51RhLshPairs: Q = (s, d) => q51Pairs(s, d).orderBy("id_a", "id_b")
+
+  /** q76 — the q51 pair pipeline reduced to order-free aggregates. q51
+    * itself is OUTPUT-bound at replica scale (104.8M true pairs at 100×:
+    * the work is ~linear per emitted row, so listing pairs measures the
+    * sink, not the engine) — this variant runs the identical signature /
+    * banding / bucket-pair / exact-verify pipeline and collapses it to one
+    * row, which is what puts the cosine pair family on the growth boards.
+    * The cosine sum aggregates the 6dp-rounded per-pair values as
+    * DECIMAL, so the result is independent of aggregation order (the
+    * repo-wide float-parity rule).
+    */
+  val q76RhLshStats: Q = (s, d) =>
+    q51Pairs(s, d).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("cosine").cast("decimal(18,6)")).cast("double").as("sum_cos6"),
+      min("cosine").as("min_cosine"),
+      max("cosine").as("max_cosine"))
+
+  private def q51Pairs(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     // Band width adapts to corpus size: ~8 vectors per bucket target, so
     // bucket population (and the c(k,2) pair step) stays constant as N
@@ -905,7 +925,6 @@ object SimilarityQueries {
       .withColumn("cosine", cos6(s, "vec_a", "vec_b"))
       .filter(col("cosine") >= 0.35)
       .select("id_a", "id_b", "cosine")
-      .orderBy("id_a", "id_b")
   }
 
   // ---------------------------------------------------------------------------
@@ -1164,7 +1183,7 @@ object SimilarityQueries {
   // of zero could in principle flip a signature bit — across the test
   // corpus no plane sum is near that boundary, and the exact-cosine
   // verification bounds the blast radius to candidate membership.
-  val q51Sql: String =
+  private val q51CteSql: String =
     s"""WITH params AS (
        |  SELECT CAST(least(15, greatest(8,
        |    CAST(ceil(log2(greatest(count(*) / 8.0, 2.0))) AS INTEGER)))
@@ -1199,9 +1218,24 @@ object SimilarityQueries {
        |      / (${normSql("a.embedding")} * ${normSql("b.embedding")}), 6) AS cosine
        |  FROM cand c
        |  JOIN embeddings a ON a.vec_id = c.id_a
-       |  JOIN embeddings b ON b.vec_id = c.id_b)
-       |SELECT id_a, id_b, cosine FROM ver WHERE cosine >= 0.35
+       |  JOIN embeddings b ON b.vec_id = c.id_b),
+       |hits AS (
+       |  SELECT id_a, id_b, cosine FROM ver WHERE cosine >= 0.35)""".stripMargin
+
+  val q51Sql: String =
+    s"""$q51CteSql
+       |SELECT id_a, id_b, cosine FROM hits
        |ORDER BY id_a, id_b""".stripMargin
+
+  // q76: same CTE chain, order-free aggregate tail (DECIMAL sum of the
+  // 6dp-rounded cosines ⇒ engine- and order-independent).
+  val q76Sql: String =
+    s"""$q51CteSql
+       |SELECT count(*) AS n_pairs,
+       |  CAST(sum(CAST(cosine AS DECIMAL(18,6))) AS DOUBLE) AS sum_cos6,
+       |  min(cosine) AS min_cosine,
+       |  max(cosine) AS max_cosine
+       |FROM hits""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "q40_cosine_topk" -> q40CosineTopK,
@@ -1214,6 +1248,7 @@ object SimilarityQueries {
     "q48_winnowing_fingerprints" -> q48Winnowing,
     "q49_ivf_ann" -> q49IvfAnn,
     "q51_rh_lsh_pairs" -> q51RhLshPairs,
+    "q76_rh_lsh_stats" -> q76RhLshStats,
     "q69_kmeans" -> q69Kmeans,
     "q74_semantic_dedup" -> q74SemanticDedup)
 
@@ -1228,6 +1263,7 @@ object SimilarityQueries {
     "q48_winnowing_fingerprints" -> q48Sql,
     "q49_ivf_ann" -> q49Sql,
     "q51_rh_lsh_pairs" -> q51Sql,
+    "q76_rh_lsh_stats" -> q76Sql,
     "q69_kmeans" -> q69Sql,
     "q74_semantic_dedup" -> q74Sql)
 }
