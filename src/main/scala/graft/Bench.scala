@@ -387,6 +387,15 @@ object Bench {
       catch { case t: Throwable =>
         s"""{"err":${jstr(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(200)}")}}"""
       }
+    // Leg-local canary: the streaming/MC legs run AFTER the sweep in this
+    // JVM, and the r12 same-binary A/B proved in-sweep leg numbers can
+    // inflate 5-10x from accumulated JVM state (state-store maintenance
+    // threads, GC pressure, listener backlog) while isolated fresh-JVM
+    // runs sit at parity with the previous binary. This canary pins the
+    // machine state immediately before the legs so a reader can tell
+    // leg-context inflation from machine degradation; authoritative leg
+    // numbers remain isolated runs (SPARK_GRAFT_QUERIES=none).
+    val legCanaryCpu = canaryCpu(spark)
     val streaming = block(streamingBench(spark))
     val mc = block(mcBench(spark))
 
@@ -396,7 +405,8 @@ object Bench {
     // from code regression): (1) its own line BEFORE the main line, (2) at
     // the very END of the main line, after `detail`, so a tail-truncated
     // artifact still carries it, (3) `streaming` rides in the tail too.
-    println(s"""{"canary":$canary,"streaming":$streaming,"mc":$mc}""")
+    println(s"""{"canary":$canary,"legs_canary_cpu_sec":${r3(legCanaryCpu)},""" +
+      s""""streaming":$streaming,"mc":$mc}""")
     // Per-query history survives tail truncation by living in its OWN file
     // (round-10 verdict #4): the archived BENCH_rNN.json keeps only the
     // main line's tail, so round-over-round comparison covered ~13 of 73
@@ -419,7 +429,8 @@ object Bench {
     // carries the summary fields the driver parses.
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""errors":${results.count(_.err.nonEmpty)},""" +
-      s""""subtotals":$subtotals,"streaming":$streaming,"mc":$mc,"canary":$canary}""")
+      s""""subtotals":$subtotals,"legs_canary_cpu_sec":${r3(legCanaryCpu)},""" +
+      s""""streaming":$streaming,"mc":$mc,"canary":$canary}""")
     spark.stop()
   }
 }
