@@ -174,4 +174,17 @@ class PlanSpec extends SparkSpec {
         s"$name verification join must be a shuffled merge join:\n${p.take(1500)}")
     }
   }
+
+  test("q76: the LSH stats probe partial-aggregates and keeps q51's join guard") {
+    // q76 exists to measure the pair pipeline without the output sink, so
+    // its one-row reduction must map-side combine (partial aggregate
+    // before the single-partition final) and the underlying verification
+    // join must stay under the same no-broadcast guard as q51 — a probe
+    // that broadcast-OOMs at scale measures nothing.
+    val p = plan("q76_rh_lsh_stats")
+    assert(p.contains("SortMergeJoin"),
+      s"q76 verification join must be a shuffled merge join:\n${p.take(1500)}")
+    assert(p.contains("partial_"),
+      s"q76 aggregates must map-side combine:\n${p.take(1500)}")
+  }
 }
