@@ -27,6 +27,27 @@ object DedupClusters {
   /** Exact thresholded jaccard pairs over hashed shingles (same 64-bit
     * hashing argument as q47 — counts are collision-free in practice).
     *
+    * This is THE pair-generation entry point — one path for every consumer
+    * (q55 and any future caller), and that path is the PPJoin
+    * prefix-filtered shape that holds at corpus scale: only each set's
+    * smallest |A| − ceil(t·|A|) + 1 hashes (under the global hash order)
+    * are indexed for CANDIDATE generation — by the prefix-filter lemma,
+    * two sets passing the length filter with J >= t must intersect within
+    * those prefixes (required overlap o = ceil(t/(1+t)·(|A|+|B|))
+    * >= ceil(t·|A|) once |B| >= t·|A|). Candidates are then verified
+    * EXACTLY on the full hash arrays, so the result set is identical to
+    * the full-postings inverted-index join (spec-asserted against
+    * [[jaccardPairsFullPostings]] on random corpora) while the posting
+    * shuffle shrinks by roughly the threshold fraction — at t = 0.9 only
+    * ~10% of each set is ever indexed.
+    */
+  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame =
+    jaccardPairsPrefix(docs, threshold)
+
+  /** Full-postings inverted-index set-similarity join — the simpler shape
+    * [[jaccardPairs]] is spec-checked against; NOT a query path of its own
+    * (package-private so tests can cross-verify, nothing else calls it).
+    *
     * Shape: the classical inverted-index set-similarity join, NOT an
     * all-pairs nested loop — explode each doc's distinct shingle hashes,
     * self-join on the hash (only docs SHARING a shingle ever meet), count
@@ -35,11 +56,12 @@ object DedupClusters {
     * joins and partial-aggregated counts; a measured BroadcastNestedLoop
     * variant spent ~8 µs/candidate evaluating interpreted array predicates
     * across O(n²) pairs, while this path touches only co-occurring pairs.
-    * At 100 TB the refinement is prefix filtering (index only each set's
-    * rarest ceil(t·|A|) hashes); the length filter below already prunes
-    * mismatched sizes before the count compares.
+    * The length filter below already prunes mismatched sizes before the
+    * count compares; the prefix-filtered default additionally shrinks the
+    * indexed postings themselves.
     */
-  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  private[similarity] def jaccardPairsFullPostings(
+      docs: DataFrame, threshold: Double): DataFrame = {
     val sub = SimilarityQueries.withShingles(docs)
       .select(col("doc_id"),
         transform(col("shingles"), x => xxhash64(x)).as("sh"))
@@ -60,18 +82,10 @@ object DedupClusters {
       .select("id_a", "id_b")
   }
 
-  /** The 100 TB refinement of [[jaccardPairs]]: PPJoin prefix filtering.
-    * Only each set's smallest |A| − ceil(t·|A|) + 1 hashes (under the
-    * global hash order) are indexed for CANDIDATE generation — by the
-    * prefix-filter lemma, two sets passing the length filter with
-    * J >= t must intersect within those prefixes (required overlap
-    * o = ceil(t/(1+t)·(|A|+|B|)) >= ceil(t·|A|) once |B| >= t·|A|).
-    * Candidates are then verified EXACTLY on the full hash arrays, so the
-    * result set is identical to jaccardPairs (spec-asserted) while the
-    * posting-list shuffle shrinks by roughly the threshold fraction —
-    * at t = 0.9 only ~10% of each set is ever indexed.
+  /** PPJoin prefix-filtered implementation behind [[jaccardPairs]] (see
+    * the lemma and verification argument there).
     */
-  def jaccardPairsPrefix(docs: DataFrame, threshold: Double): DataFrame = {
+  private def jaccardPairsPrefix(docs: DataFrame, threshold: Double): DataFrame = {
     val sub = SimilarityQueries.withShingles(docs)
       .select(col("doc_id"),
         array_sort(transform(col("shingles"), x => xxhash64(x))).as("sh"))
@@ -156,9 +170,9 @@ object DedupClusters {
 
   val q55DedupClusters: Q = (s, d) => {
     val block = Tables.documents(s, d).filter(col("doc_id") < 500)
-    // prefix-filtered candidate generation (spec-asserted equal to the
-    // full-postings jaccardPairs) — the shape that holds at corpus scale
-    val pairs = jaccardPairsPrefix(block, JaccardThreshold)
+    // the one pair-generation path: prefix-filtered candidates, exact
+    // verification (spec-asserted equal to full postings)
+    val pairs = jaccardPairs(block, JaccardThreshold)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
     val nodes = SimilarityQueries.withShingles(block)
       .select(col("doc_id").as("id"))

@@ -73,8 +73,8 @@ class DedupClustersSpec extends SparkSpec {
       }.toDF("doc_id", "text")
       def pairs(df: org.apache.spark.sql.DataFrame) =
         df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val full = pairs(DedupClusters.jaccardPairs(docs, t))
-      val prefix = pairs(DedupClusters.jaccardPairsPrefix(docs, t))
+      val full = pairs(DedupClusters.jaccardPairsFullPostings(docs, t))
+      val prefix = pairs(DedupClusters.jaccardPairs(docs, t))
       assert(prefix === full, s"trial $trial t=$t")
     }
   }
