@@ -33,6 +33,13 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // Bucket-sorted scans report their sort order (off by default since
+      // Spark 3.1 because MULTI-file buckets would interleave); Spark still
+      // guards with the one-file-per-bucket check, and Partitioning
+      // .writeBucketed repartitions on the bucket key so that check holds.
+      // This is what lets the bucketed event-store layout run window and
+      // episode queries with no Sort at all (BucketedLayoutSpec).
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .withExtensions(new functions.GraftExtensions)
 
   def local(cores: Int): SparkSession = {

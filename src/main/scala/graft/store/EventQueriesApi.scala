@@ -37,6 +37,23 @@ object EventQueriesApi {
       .orderBy("game_id", "seq")
   }
 
+  /** [[episodes]] for the bucketed layout ([[EventStore.writeBucketed]]):
+    * episode consumers need PER-GAME seq order, not a global order across
+    * games, so the global `orderBy` (a range-partitioning Exchange) is
+    * replaced by `sortWithinPartitions` — and over storage that is
+    * bucketed by game_id and bucket-sorted by (game_id, seq) even that
+    * partition-local Sort is removed by the planner (the scan already
+    * reports the ordering), leaving a plan with no shuffle Exchange and
+    * no Sort at all: scan → broadcast semi-join, done
+    * (BucketedLayoutSpec pins this). The qualifying-count aggregation
+    * also rides the bucket distribution — no Exchange there either.
+    */
+  def episodesPartitionLocal(envelopes: DataFrame, minTicks: Long): DataFrame = {
+    val ids = qualifyingGameIds(envelopes, minTicks).select("game_id")
+    envelopes.join(broadcast(ids), Seq("game_id"), "left_semi")
+      .sortWithinPartitions("game_id", "seq")
+  }
+
   /** Player history (`duckdb.py:296-310`, J2): all events of every game the
     * player appeared in — the DISTINCT player_games CTE is exactly a
     * left-semi join.
@@ -106,7 +123,8 @@ object EventQueriesApi {
     * `price` is decimal-as-string on disk and CAST here, exactly like
     * `duckdb.py:435`.
     */
-  def tickFeatures(envelopes: DataFrame, gameId: Option[String] = None): DataFrame = {
+  def tickFeatures(envelopes: DataFrame, gameId: Option[String] = None,
+      ordered: Boolean = true): DataFrame = {
     val ticks0 = envelopes.filter(col("doc_type") === "game_tick")
     val ticks = gameId.fold(ticks0)(g => ticks0.filter(col("game_id") === g))
       .withColumn("price_d", col("price").cast("double"))
@@ -117,7 +135,7 @@ object EventQueriesApi {
     val prev = lag(col("price_d"), 1).over(w)
     val runMax = max(col("price_d")).over(wRun)
     def nullifZero(c: Column): Column = when(c === 0, null).otherwise(c)
-    ticks.select(
+    val out = ticks.select(
       col("game_id"), col("seq"), col("tick"), col("price_d").as("price"),
       (col("price_d") - prev).as("price_delta"),
       ((col("price_d") - prev) / nullifZero(prev)).as("pct_change"),
@@ -125,6 +143,10 @@ object EventQueriesApi {
       when(count(lit(1)).over(w10) >= 2, stddev(col("price_d")).over(w10)).as("volatility_10"),
       runMax.as("running_max"),
       (col("price_d") / nullifZero(runMax) - 1).as("drawdown"))
-      .orderBy("game_id", "seq")
+    // ordered=false keeps ordering partition-local (per-game, which is all
+    // a feature consumer needs) — over the bucketed layout even that Sort
+    // vanishes, so the whole query runs shuffle-free and sort-free
+    if (ordered) out.orderBy("game_id", "seq")
+    else out.sortWithinPartitions("game_id", "seq")
   }
 }

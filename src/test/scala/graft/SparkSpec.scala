@@ -22,6 +22,9 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // shipped-session parity (GraftSession.builder): sorted bucket scans
+      // report ordering so layout specs see the plans users get
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
