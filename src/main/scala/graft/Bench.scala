@@ -30,7 +30,7 @@ import org.apache.spark.sql.SparkSession
   *     (override: SPARK_GRAFT_DETAIL_OUT) — never to the stdout contract
   *     line, which must stay small enough for the driver's parser.
   *   - `subtotals` separates the idiomatic board from the hash family
-  *     (q42/q43/q44/q48/q63), whose DuckDB oracles execute our generated
+  *     (q42/q43/q44/q48/q63/q77), whose DuckDB oracles execute our generated
   *     hash chain and therefore do not measure a comparable engine
   *     (SCALING.md "honest caveat"), machine-readably.
   *
@@ -53,7 +53,8 @@ object Bench {
     */
   val HashFamily: Set[String] = Set(
     "q42_minhash_signatures", "q43_minhash_lsh_pairs", "q44_simhash",
-    "q48_winnowing_fingerprints", "q63_simhash_pairs")
+    "q48_winnowing_fingerprints", "q63_simhash_pairs",
+    "q77_simhash_pairs_blocked")
 
   def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 

@@ -418,13 +418,15 @@ object SimilarityQueries {
   // candidate enumeration, uniformly spread (no task hotspot; the skew
   // machinery above is orthogonal and healthy). Raising SimBandBits
   // trades the Hamming<=3 pigeonhole guarantee; the published fix that
-  // keeps it is permutation-sort adjacency (Manku, Jain & Das Sarma,
-  // WWW'07 §3): replicate each signature under b bit-rotations, SORT
-  // each run and scan a fixed neighbor window — N log N per permutation
-  // at any N, expressible as b sortWithinPartitions + window scans. At
-  // the corpus sizes this library is oracle-gated on (N <= 10^6),
-  // banding is the cheaper plan by a wide margin; past ~10^7 docs the
-  // crossover favors the sorted variant.
+  // keeps it is Manku, Jain & Das Sarma's block-permutation scheme
+  // (WWW'07 §3) — IMPLEMENTED below as q77: band on PAIRS of blocks so
+  // the key widens to ~26 bits while >= 1 compound band still survives
+  // any 3 flipped bits. q77 produces the identical pair set (spec-pinned
+  // + its own brute-force oracle) with the saturation onset pushed from
+  // N ~ 10^6 to ~10^7.5. At the corpus sizes this library is oracle-gated
+  // on (N <= 10^6) the 4-band plan enumerates fewer candidate rows
+  // (4N vs 10N banded rows) and stays the default; past the crossover a
+  // consumer switches to q77 for the same answer.
   val SimHammingMax = 3
   private val SimBandBits = 16
   private val SimNumBands = 64 / SimBandBits
@@ -438,6 +440,66 @@ object SimilarityQueries {
       posexplode(array((0 until SimNumBands).map { b =>
         shiftrightunsigned(col("simhash"), b * SimBandBits)
           .bitwiseAND(lit((1L << SimBandBits) - 1))
+      }: _*)).as(Seq("band", "bkey")))
+    val pairs = bucketPairs(banded)
+    pairs
+      .join(sigs.select(col("doc_id").as("id_a"), col("simhash").as("sim_a")), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("simhash").as("sim_b")), "id_b")
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= SimHammingMax)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  // ---------------------------------------------------------------------------
+  // q77 — SimHash near-dup pairs via COMPOUND banding (the scale path for
+  // q63). Manku, Jain & Das Sarma (WWW'07 §3) keep the Hamming<=k
+  // completeness guarantee at web scale by permuting BLOCKS of the
+  // fingerprint so that a long intact prefix leads, then probing the runs
+  // that share it; on disk the runs are found by sorting, in Spark the
+  // identical candidate set falls out of hash-bucketing on the permuted
+  // prefix — same math, shuffle instead of sort, and bucketPairs'
+  // chunk-splitting already bounds any run's expansion. Concretely:
+  //
+  //   - split the 64-bit signature into 5 disjoint blocks
+  //     (13,13,13,13,12 bits). 3 flipped bits touch <= 3 blocks, so >= 2
+  //     blocks are intact — by pigeonhole at least one of the C(5,2) = 10
+  //     BLOCK PAIRS is untouched, and banding on the concatenation of
+  //     each block pair (25-26-bit keys) finds every pair at
+  //     Hamming <= 3. SimilaritySpec verifies the pigeonhole
+  //     exhaustively over all C(64,3) = 41,664 bit triples.
+  //   - the wider key is the whole point: incidental collisions in a
+  //     b-bit band space total ~bands·N²/2^(b+1), so q63's 4·N²/2^17 =
+  //     N²/2^15 becomes 10·N²/2^26·2 ≈ N²/2^22.7 — ~200× fewer random
+  //     candidates, moving the measured saturation onset (q63 comment
+  //     above) from N ~ 10^6 to ~10^7.5 docs. The trade is 10N banded
+  //     rows shuffled instead of 4N — linear cost for quadratic relief.
+  //   - everything downstream is shared with q63: bucketPairs (chunked,
+  //     task-spread, lossless on degenerate buckets), signature re-join,
+  //     bit_count verification. Output semantics are IDENTICAL ("all
+  //     pairs at Hamming <= 3"); the oracle is deliberately brute-force
+  //     (all-pairs xor in DuckDB) so it is independent of ANY banding
+  //     arithmetic, and SimilaritySpec pins q77 === q63 row-for-row.
+  private[graft] val SimBlockWidths: Seq[Int] = Seq(13, 13, 13, 13, 12)
+  private[graft] val SimBlockOffsets: Seq[Int] =
+    SimBlockWidths.scanLeft(0)(_ + _).init
+  private[graft] val SimBlockPairs: Seq[(Int, Int)] =
+    for {
+      i <- SimBlockWidths.indices
+      j <- SimBlockWidths.indices if i < j
+    } yield (i, j)
+
+  val q77SimhashPairsBlocked: Q = (s, d) => {
+    val sigs = Tables.documents(s, d)
+      .withColumn("__toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        graft.functions.SimHash64.simhash64(s, "__toks").as("simhash"))
+    def block(i: Int) =
+      shiftrightunsigned(col("simhash"), SimBlockOffsets(i))
+        .bitwiseAND(lit((1L << SimBlockWidths(i)) - 1))
+    val banded = sigs.select(col("doc_id").as("id"),
+      posexplode(array(SimBlockPairs.map { case (i, j) =>
+        shiftleft(block(i), SimBlockWidths(j)).bitwiseOR(block(j))
       }: _*)).as(Seq("band", "bkey")))
     val pairs = bucketPairs(banded)
     pairs
@@ -1142,6 +1204,19 @@ object SimilarityQueries {
        |SELECT id_a, id_b, hamming FROM ver WHERE hamming <= $SimHammingMax
        |ORDER BY id_a, id_b""".stripMargin
 
+  // q77: deliberately BRUTE-FORCE (all-pairs xor) — the oracle must be
+  // independent of every banding/pigeonhole argument it is checking, and
+  // at the oracle SF (500 docs → 124,750 pairs) exhaustion is cheap.
+  val q77Sql: String =
+    s"""WITH $simhashSigCte,
+       |signed AS (
+       |  SELECT doc_id, ${toI64("s")} AS sh FROM sig)
+       |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+       |  CAST(bit_count(xor(x.sh, y.sh)) AS INTEGER) AS hamming
+       |FROM signed x JOIN signed y ON x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.sh, y.sh)) <= $SimHammingMax
+       |ORDER BY id_a, id_b""".stripMargin
+
   val q48Sql: String =
     s"""WITH toked AS (
        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -1244,6 +1319,7 @@ object SimilarityQueries {
     "q43_minhash_lsh_pairs" -> q43MinhashPairs,
     "q44_simhash" -> q44Simhash,
     "q63_simhash_pairs" -> q63SimhashPairs,
+    "q77_simhash_pairs_blocked" -> q77SimhashPairsBlocked,
     "q47_ngram_jaccard_topk" -> q47NgramJaccard,
     "q48_winnowing_fingerprints" -> q48Winnowing,
     "q49_ivf_ann" -> q49IvfAnn,
@@ -1259,6 +1335,7 @@ object SimilarityQueries {
     "q43_minhash_lsh_pairs" -> q43Sql,
     "q44_simhash" -> q44Sql,
     "q63_simhash_pairs" -> q63Sql,
+    "q77_simhash_pairs_blocked" -> q77Sql,
     "q47_ngram_jaccard_topk" -> q47Sql,
     "q48_winnowing_fingerprints" -> q48Sql,
     "q49_ivf_ann" -> q49Sql,

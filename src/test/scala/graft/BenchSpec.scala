@@ -16,7 +16,8 @@ class BenchSpec extends AnyFunSuite {
   test("hash family is exactly the generated-hash-oracle queries") {
     assert(Bench.HashFamily === Set(
       "q42_minhash_signatures", "q43_minhash_lsh_pairs", "q44_simhash",
-      "q48_winnowing_fingerprints", "q63_simhash_pairs"))
+      "q48_winnowing_fingerprints", "q63_simhash_pairs",
+      "q77_simhash_pairs_blocked"))
     assert(Bench.HashFamily.subsetOf(SparkEntry.queries.keySet),
       "every hash-family name must be a registered query")
   }

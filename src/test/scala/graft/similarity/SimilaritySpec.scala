@@ -198,6 +198,62 @@ class SimilaritySpec extends SparkSpec {
     assert(got.contains((1L, 2L)) && got((1L, 2L)) === 0) // exact dup planted
   }
 
+  test("q77: compound-banded pairs === q63 row-for-row (same planted corpus)") {
+    // q77 bands on block PAIRS (5 blocks, C(5,2)=10 compound bands) —
+    // different candidate arithmetic, identical guaranteed output: every
+    // pair at Hamming <= max. Pin the two paths equal on a corpus with
+    // exact dups, near dups, and noise.
+    val rnd = new scala.util.Random(29L)
+    def doc(n: Int): String = (1 to 60).map(_ => s"w${rnd.nextInt(40)}").mkString(" ")
+    val base1 = doc(1); val base2 = doc(2)
+    val docs = (
+      Seq(1L -> base1, 2L -> base1,
+        3L -> base2, 4L -> (base2 + " extraTok"),
+        5L -> base1.replaceFirst("w", "v")) ++
+        (6L to 60L).map(i => i -> doc(i.toInt))
+      ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-shpb").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def rows(q: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame) =
+      q(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("hamming"))).toSeq
+    val blocked = rows(SimilarityQueries.q77SimhashPairsBlocked)
+    val banded = rows(SimilarityQueries.q63SimhashPairs)
+    assert(blocked === banded)
+    assert(blocked.exists { case (a, b, h) => a == 1L && b == 2L && h == 0 })
+  }
+
+  test("q77 pigeonhole: every C(64,3) bit triple leaves >= 1 compound band intact") {
+    // The completeness argument, verified exhaustively rather than by
+    // prose: 5 blocks cover the 64 bits exactly once; for EVERY way 3
+    // flipped bits can fall, some block pair (a compound band) is
+    // untouched. 41,664 triples — cheap, total, no sampling.
+    val widths = SimilarityQueries.SimBlockWidths
+    val offsets = SimilarityQueries.SimBlockOffsets
+    assert(widths.sum === 64)
+    def blockOf(bit: Int): Int =
+      offsets.lastIndexWhere(_ <= bit) // blocks are contiguous, ascending
+    // partition sanity: each bit belongs to exactly one block's range
+    (0 until 64).foreach { bit =>
+      val blk = blockOf(bit)
+      assert(bit >= offsets(blk) && bit < offsets(blk) + widths(blk))
+    }
+    val pairs = SimilarityQueries.SimBlockPairs
+    assert(pairs.size === 10)
+    var checked = 0
+    for {
+      b1 <- 0 until 64; b2 <- (b1 + 1) until 64; b3 <- (b2 + 1) until 64
+    } {
+      val hit = Set(blockOf(b1), blockOf(b2), blockOf(b3))
+      assert(pairs.exists { case (i, j) => !hit(i) && !hit(j) },
+        s"no intact compound band for flipped bits ($b1,$b2,$b3)")
+      checked += 1
+    }
+    assert(checked === 41664) // C(64,3)
+  }
+
   test("q69 kmeans: tight planted clusters separate; duplicates co-assign") {
     val rnd = new scala.util.Random(31L)
     def around(center: Array[Float], eps: Float): Array[Float] =

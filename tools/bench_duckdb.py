@@ -4,7 +4,7 @@ and print seconds per query, for comparison against graft.Bench output.
 Usage: python3 tools/bench_duckdb.py <sfDir> <verifyOutDir(with oracle_sql.json)> [skip1,skip2,...]
 
 The optional skip list is for the hash-family queries (q42/q43/q44/q48/
-q63), whose oracles execute our generated hash64 chain — minutes each at
+q63/q77), whose oracles execute our generated hash64 chain — minutes each at
 10x scale and not a measurement of DuckDB anyway (SCALING.md caveat).
 """
 import json, sys, time
