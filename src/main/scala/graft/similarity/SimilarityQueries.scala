@@ -468,12 +468,19 @@ object SimilarityQueries {
   //     each block pair (25-26-bit keys) finds every pair at
   //     Hamming <= 3. SimilaritySpec verifies the pigeonhole
   //     exhaustively over all C(64,3) = 41,664 bit triples.
-  //   - the wider key is the whole point: incidental collisions in a
-  //     b-bit band space total ~bands·N²/2^(b+1), so q63's 4·N²/2^17 =
-  //     N²/2^15 becomes 10·N²/2^26·2 ≈ N²/2^22.7 — ~200× fewer random
-  //     candidates, moving the measured saturation onset (q63 comment
-  //     above) from N ~ 10^6 to ~10^7.5 docs. The trade is 10N banded
-  //     rows shuffled instead of 4N — linear cost for quadratic relief.
+  //   - the wider key is the whole point: under UNIFORM band-value
+  //     occupancy incidental collisions total ~bands·N²/2^(b+1), so
+  //     q63's 4·N²/2^17 = N²/2^15 becomes 10·N²/2^26·2 ≈ N²/2^22.7,
+  //     moving the saturation onset from N ~ 10^6 to ~10^7.5 docs.
+  //     Measured (BENCH_r12_simhash_paths.json, 100× replica probe,
+  //     N = 500k): real signatures CLUSTER — shared language statistics
+  //     skew occupancy ~6× above uniform for BOTH schemes — but the
+  //     relative gap tracks the key-width arithmetic: q77 enumerates
+  //     6.8× fewer distinct candidates (42.7M → 6.2M, DuckDB-counted
+  //     from the same signature dump), 2.2× less wall, 1.6× less CPU,
+  //     on IDENTICAL output (93,128 pairs both). The trade is 10N
+  //     banded rows shuffled instead of 4N — linear cost for quadratic
+  //     relief.
   //   - everything downstream is shared with q63: bucketPairs (chunked,
   //     task-spread, lossless on degenerate buckets), signature re-join,
   //     bit_count verification. Output semantics are IDENTICAL ("all

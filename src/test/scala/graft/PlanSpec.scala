@@ -168,7 +168,8 @@ class PlanSpec extends SparkSpec {
     // hint in bucketPairs); this pins the resulting plan — a silent loss
     // of the guard would reintroduce a crash no sf0.001-sized test run
     // can see. GenerateStatsGuardSpec unit-tests the rule itself.
-    for (name <- Seq("q51_rh_lsh_pairs", "q43_minhash_lsh_pairs")) {
+    for (name <- Seq("q51_rh_lsh_pairs", "q43_minhash_lsh_pairs",
+        "q63_simhash_pairs", "q77_simhash_pairs_blocked")) {
       val p = plan(name)
       assert(p.contains("SortMergeJoin"),
         s"$name verification join must be a shuffled merge join:\n${p.take(1500)}")
