@@ -280,6 +280,189 @@ object TextQueries {
   }
 
   // ---------------------------------------------------------------------------
+  // q78 — exact duplicated-substring SPANS (Lee et al. 2022, "Deduplicating
+  // Training Data Makes Language Models Better": remove verbatim repeated
+  // substrings, not just whole-document dups — the ExactSubstr pass every
+  // serious corpus build runs alongside document-level MinHash). The paper
+  // uses a suffix array; the Spark-first equivalent at fixed granularity W
+  // is sliding W-token window hashing: a window whose token sequence occurs
+  // >= 2 times ANYWHERE in the corpus (other docs or the same doc) is
+  // duplicated, and maximal runs of duplicated windows merge into spans —
+  // exactly the suffix-array output quantized to W tokens. Shape at 100 TB:
+  //   - window hashes are computed scan-side (transform + slice +
+  //     array_join + xxhash64, the q58 shingle idiom); only slim
+  //     (doc_id, pos, h) rows ever shuffle — 24 bytes per window, the
+  //     same hash-before-shuffle rule as q35's exact dedup;
+  //   - the frequency count partial-aggregates map-side; the dup-window
+  //     join runs on the 8-byte hash with GenerateStatsGuard pinning the
+  //     Generate-derived sides off the broadcast path;
+  //   - span merging is one keyed window per doc (partition-local sort,
+  //     no global ordering).
+  // Internally Spark groups by xxhash64 of the window string (what you
+  // would actually shuffle at scale); the oracle groups by the window
+  // STRING itself, so the check is independent of the hash (they diverge
+  // only on an xxhash64 collision between distinct windows — ~2^-50 at
+  // oracle corpus sizes, the q47 argument). Positions are 1-based token
+  // indices; span_end is exclusive (span covers tokens
+  // [span_start, span_end-1]); windows <= W apart merge (overlapping or
+  // exactly adjacent duplicated regions read as one span).
+  val DupSpanW = 8
+  val q78DupSpans: Q = (s, d) => {
+    val w = DupSpanW
+    val wins = Tables.documents(s, d)
+      .filter(size(toks) >= w)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(toks) - (w - 1)),
+          i => xxhash64(array_join(slice(toks, i, lit(w)), " "))))
+          .as(Seq("pos0", "h")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("h"))
+    val dupH = wins.groupBy("h").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+    val dup = wins.join(dupH.select("h"), "h")
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    dup
+      .withColumn("prev", lag(col("pos"), 1).over(wDoc))
+      .withColumn("ns",
+        when(col("prev").isNull || col("pos") - col("prev") > w, 1).otherwise(0))
+      .withColumn("span_id", sum(col("ns")).over(
+        wDoc.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + w).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "span_start", "span_end", "n_windows")
+      .orderBy("doc_id", "span_start")
+  }
+  val q78Sql: String = {
+    val w = DupSpanW
+    s"""WITH toked AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $w),
+       |idx AS (
+       |  SELECT doc_id, t, unnest(range(len(t) - ${w - 1})) AS i FROM toked),
+       |wins AS (
+       |  SELECT doc_id, i + 1 AS pos,
+       |    list_aggregate(t[i+1:i+$w], 'string_agg', ' ') AS wstr
+       |  FROM idx),
+       |freq AS (SELECT wstr FROM wins GROUP BY wstr HAVING count(*) >= 2),
+       |dup AS (SELECT w.doc_id, w.pos FROM wins w JOIN freq f USING (wstr)),
+       |flag AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $w
+       |      THEN 0 ELSE 1 END AS ns
+       |  FROM dup),
+       |sp AS (
+       |  SELECT doc_id, pos, sum(ns) OVER (
+       |    PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_id
+       |  FROM flag)
+       |SELECT doc_id, min(pos) AS span_start, max(pos) + $w AS span_end,
+       |  count(*) AS n_windows
+       |FROM sp GROUP BY doc_id, span_id
+       |ORDER BY doc_id, span_start""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------------
+  // q79 — DSIR importance weights (Xie et al. 2023, "Data Selection for
+  // Language Models via Importance Resampling"): score every raw document
+  // by how target-like its hashed n-gram distribution is — the standard
+  // data-SELECTION step that sits between quality filtering (q33/q59) and
+  // mixing (q62) in a corpus build. Model: unigrams + bigrams hash into
+  // B = 256 buckets; bucket probabilities are Laplace-smoothed bag-of-
+  // hashed-ngrams fits of the TARGET domain (here: the lexicographically
+  // first source, a deterministic stand-in for "quality domain") and the
+  // RAW rest; a doc's log importance weight is
+  //   sum_b cnt_doc[b] * (ln p_target[b] - ln p_raw[b]).
+  // Shape at 100 TB:
+  //   - grams explode scan-side but collapse to (doc_id, bucket, cnt)
+  //     via partial map-side aggregation before the one shuffle — at most
+  //     B rows per doc cross the wire, regardless of doc length;
+  //   - the bucket model is a <= B-row relation: built with one tiny
+  //     aggregate, joined back as a BROADCAST — the per-doc scoring join
+  //     never shuffles the corpus;
+  //   - bucket = md5-prefix (the q18/hashBucket01 idiom) so both engines
+  //     compute the identical feature hash with no generated-SQL chain —
+  //     q79 stays OUT of the hash family;
+  //   - determinism: the per-(doc, bucket) term is rounded to 12dp and
+  //     summed as DECIMAL(28,12) (the q66 convention), so the one
+  //     order-dependent float sum is exact and order-free in both engines.
+  val DsirBuckets = 256
+  val q79DsirWeights: Q = (s, d) => {
+    val b = DsirBuckets
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      pmod(conv(substring(md5(c), 1, 8), 16, 10).cast("long"), lit(b.toLong))
+    val docs = Tables.documents(s, d)
+    val bi = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => array_join(slice(toks, i, lit(2)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val grams = docs.select(col("doc_id"), col("source"),
+      explode(concat(toks, bi)).as("gram"))
+    val db = grams
+      .select(col("doc_id"), col("source"), bucketOf(col("gram")).as("bucket"))
+      .groupBy("doc_id", "source", "bucket").agg(count(lit(1)).as("cnt"))
+    val tgtDf = docs.agg(min(col("source")).as("tgt"))
+    val withTgt = db.crossJoin(broadcast(tgtDf))
+      .withColumn("is_target", col("source") === col("tgt"))
+    val bucketTotals = withTgt.groupBy("bucket").agg(
+      sum(when(col("is_target"), col("cnt")).otherwise(0L)).as("ct"),
+      sum(when(!col("is_target"), col("cnt")).otherwise(0L)).as("cr"))
+    val totals = bucketTotals.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+    val lam = bucketTotals.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (log((col("ct") + 1).cast("double") / (col("tt") + b).cast("double")) -
+          log((col("cr") + 1).cast("double") / (col("tr") + b).cast("double")))
+          .as("lam"))
+    withTgt.filter(!col("is_target"))
+      .join(broadcast(lam), "bucket")
+      .select(col("doc_id"), col("source"),
+        round(col("cnt").cast("double") * col("lam"), 12)
+          .cast("decimal(28,12)").as("term"))
+      .groupBy("doc_id", "source")
+      .agg(sum(col("term")).as("lw"))
+      .select(col("doc_id"), col("source"),
+        round(col("lw").cast("double"), 6).as("log_weight"))
+      .orderBy("doc_id")
+  }
+  val q79Sql: String = {
+    val b = DsirBuckets
+    s"""WITH toked AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+       |uni AS (
+       |  SELECT doc_id, source, unnest(t) AS gram FROM toked),
+       |bi AS (
+       |  SELECT doc_id, source,
+       |    list_aggregate(t[i+1:i+2], 'string_agg', ' ') AS gram
+       |  FROM (SELECT doc_id, source, t, unnest(range(len(t) - 1)) AS i
+       |        FROM toked)),
+       |grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+       |db AS (
+       |  SELECT doc_id, source,
+       |    CAST(('0x' || substring(md5(gram), 1, 8)) AS BIGINT) % $b AS bucket,
+       |    count(*) AS cnt
+       |  FROM grams GROUP BY 1, 2, 3),
+       |tgt AS (SELECT min(source) AS tgt FROM documents),
+       |bt AS (
+       |  SELECT bucket,
+       |    sum(CASE WHEN source = (SELECT tgt FROM tgt) THEN cnt ELSE 0 END) AS ct,
+       |    sum(CASE WHEN source != (SELECT tgt FROM tgt) THEN cnt ELSE 0 END) AS cr
+       |  FROM db GROUP BY bucket),
+       |tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM bt),
+       |lam AS (
+       |  SELECT bucket,
+       |    ln(CAST(ct + 1 AS DOUBLE) / (tt + $b))
+       |      - ln(CAST(cr + 1 AS DOUBLE) / (tr + $b)) AS lam
+       |  FROM bt CROSS JOIN tot),
+       |terms AS (
+       |  SELECT d.doc_id, d.source,
+       |    CAST(round(d.cnt * l.lam, 12) AS DECIMAL(28,12)) AS term
+       |  FROM db d JOIN lam l USING (bucket)
+       |  WHERE d.source != (SELECT tgt FROM tgt))
+       |SELECT doc_id, source, round(CAST(sum(term) AS DOUBLE), 6) AS log_weight
+       |FROM terms GROUP BY doc_id, source ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------------
   // q59 — the curation pipeline COMPOSED end-to-end, the way a real corpus
   // build chains the stages: quality gate (minimum stopword ratio — a
   // natural-language floor; tokens >= 5) → exact dedup (keep the min
@@ -675,6 +858,8 @@ object TextQueries {
     "q62_source_mixing" -> q62SourceMixing,
     "q57_sequence_packing" -> q57SequencePacking,
     "q58_decontamination" -> q58Decontamination,
+    "q78_dup_spans" -> q78DupSpans,
+    "q79_dsir_weights" -> q79DsirWeights,
     "q32_token_count" -> q32TokenCount,
     "q33_text_quality" -> q33Quality,
     "q34_lang_stats" -> q34LangStats,
@@ -692,6 +877,8 @@ object TextQueries {
     "q62_source_mixing" -> q62Sql,
     "q57_sequence_packing" -> q57Sql,
     "q58_decontamination" -> q58Sql,
+    "q78_dup_spans" -> q78Sql,
+    "q79_dsir_weights" -> q79Sql,
     "q32_token_count" -> q32Sql,
     "q33_text_quality" -> q33Sql,
     "q34_lang_stats" -> q34Sql,

@@ -46,6 +46,58 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q78: duplicated spans have exact boundaries; unique and short docs emit none") {
+    // Planted geometry (W=8): a 12-token run shared verbatim between docs
+    // 1 and 2 at different offsets, a doc-3 with all-unique tokens, a
+    // doc-4 repeating a 9-token run WITHIN itself, and a 5-token doc that
+    // cannot hold a window. Only windows fully inside a duplicated run
+    // are flagged (straddling windows mix unique tokens), so each span
+    // must be exactly the shared run: starts s..s+run-W, end s+run.
+    val dir = java.nio.file.Files.createTempDirectory("graft-dspan").toString
+    val shared = (1 to 12).map(i => s"s$i")
+    val rep = (1 to 9).map(i => s"p$i")
+    corpus(dir,
+      1L -> ((1 to 20).map(i => s"u$i") ++ shared ++ (21 to 30).map(i => s"u$i")).mkString(" "),
+      2L -> ((1 to 15).map(i => s"v$i") ++ shared ++ (16 to 20).map(i => s"v$i")).mkString(" "),
+      3L -> (1 to 40).map(i => s"c$i").mkString(" "),
+      4L -> ((1 to 5).map(i => s"x$i") ++ rep ++ (1 to 3).map(i => s"y$i") ++
+        rep ++ (1 to 2).map(i => s"z$i")).mkString(" "),
+      5L -> (1 to 5).map(i => s"t$i").mkString(" "))
+    val out = TextQueries.q78DupSpans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1: shared at 1-based 21..32 -> starts 21..25, span [21, 33)
+    // doc 2: shared at 16..27 -> starts 16..20, span [16, 28)
+    // doc 4: rep at 6..14 and 18..26 -> spans [6, 15) and [18, 27),
+    //        11 > W apart so they must NOT merge
+    assert(out === Seq(
+      (1L, 21L, 33L, 5L),
+      (2L, 16L, 28L, 5L),
+      (4L, 6L, 15L, 2L),
+      (4L, 18L, 27L, 2L)))
+  }
+
+  test("q79: target-like raw docs outscore disjoint ones; target docs are excluded") {
+    // Target domain = min(source) = "a". Its docs use vocabulary q1..q20;
+    // raw doc 10 is written in that vocabulary, raw doc 11 in a disjoint
+    // one — DSIR must rank 10 above 11, and no target doc may appear in
+    // the scored output (selection is over the raw pool only).
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsir").toString
+    val tgtText = (i: Int) => (1 to 30).map(j => s"q${(i * 7 + j) % 20 + 1}").mkString(" ")
+    val rows = Seq(
+      (1L, tgtText(1), "a"), (2L, tgtText(2), "a"), (3L, tgtText(3), "a"),
+      (10L, tgtText(4), "b"),                       // target-like raw doc
+      (11L, (1 to 30).map(j => s"zz$j").mkString(" "), "b")) // disjoint raw doc
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextQueries.q79DsirWeights(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.keySet === Set(10L, 11L), "only raw docs are scored")
+    assert(out(10L) > out(11L),
+      s"target-like doc must outscore disjoint doc: ${out(10L)} vs ${out(11L)}")
+  }
+
   test("q58: a verbatim eval copy of a train doc is flagged; disjoint text is not") {
     val dir = java.nio.file.Files.createTempDirectory("graft-decon").toString
     val shared = (1 to 12).map(i => s"tok$i").mkString(" ")
