@@ -312,6 +312,17 @@ object Bench {
           (wall, cpu)
         }
         val reps = timed.map(_._1)
+        // Shuffle files of finished jobs are only deleted when
+        // ContextCleaner sees their ShuffleDependency get GC'd — and with
+        // a large sweep heap (the 100× board runs at -Xmx100g) a full GC
+        // may never happen on its own, so dead shuffle data accumulates in
+        // the local dirs for the whole sweep. Measured on the r12 100×
+        // board: 74 queries × 3 reps filled the disk's 78 GB of headroom
+        // and failed the LAST two queries with "No space left on device" /
+        // task OOM, while the same queries pass in a fresh JVM. One
+        // explicit GC per query (outside `time{}` — never inside a rep)
+        // keeps the sweep's footprint at one query's working set.
+        System.gc()
         QResult(name, median(reps), rows, None, reps,
           timed.flatMap(_._2))
     }

@@ -944,8 +944,17 @@ object SimilarityQueries {
   // scan (native rh_signature), banded into 4 × 8-bit buckets (banding
   // trades one long low-recall bucket for 4 independent high-recall ones:
   // cos 0.9 ⇒ ~75% pair recall vs ~8% unbanded), exact-cosine verification
-  // of the surviving candidates. Only (vec_id, band, byte) rows shuffle;
-  // vectors are re-joined just for the bucket pairs.
+  // computed IN the bucket expansion. Vectors ride into the buckets (4N
+  // vector rows shuffle — linear), pairs emit with their cosine already
+  // computed, and only 24-byte (id_a, id_b, cosine) rows survive to the
+  // cross-band dedup. The previous shape (id-only bucketPairs, then two
+  // SMJ verification joins re-attaching embeddings to the pair set) was
+  // the r12 100× board's one real failure: ~10^8 candidate rows each
+  // carrying two 64-float vectors is ~55 GB of sort spill per join — the
+  // task died with [SPILL_OUT_OF_MEMORY] "No space left on device" in a
+  // fresh JVM, i.e. a genuine plan defect, not sweep contamination. The
+  // pair-carried payload, not the pair count, was the killer: the same
+  // pairs as slim rows dedup in ~2.5 GB.
   val q51RhLshPairs: Q = (s, d) => q51Pairs(s, d).orderBy("id_a", "id_b")
 
   /** q76 — the q51 pair pipeline reduced to order-free aggregates. q51
@@ -980,20 +989,28 @@ object SimilarityQueries {
       math.ceil(math.log(math.max(n / 8.0, 2.0)) / math.log(2.0)).toInt))
     val numPlanes = 4 * bandBits
     val mask = (1L << bandBits) - 1
-    val signed = emb.select(col("vec_id"),
+    val signed = emb.select(col("vec_id"), col("embedding"),
       graft.functions.RandomHyperplaneSignature
         .rh_signature(s, "embedding", numPlanes).as("sig"))
-    val banded = signed.select(col("vec_id").as("id"),
+    val banded = signed.select(col("vec_id"), col("embedding"),
       posexplode(array((0 until 4).map { b =>
         shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask))
       }: _*)).as(Seq("band", "bkey")))
-    val pairs = bucketPairs(banded)
+    // Buckets key on the collision-free composite band*2^bits + bkey (a
+    // hash key would merge unrelated buckets and ADD candidates, drifting
+    // from the generated oracle); semPairs' triangle grid bounds any hot
+    // bucket's expansion per task exactly as it does for q74's clusters.
+    // A pair sharing several bands emits once per band with the SAME 6dp
+    // cosine, so the slim distinct below is the exact cross-band dedup
+    // bucketPairs used to do on the id pairs.
+    val pairs = semPairs(banded.select(
+      (col("band").cast("long") * lit(mask + 1) + col("bkey")).as("cid"),
+      col("vec_id"), col("embedding").as("v")), chunkSize = 256)
     pairs
-      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a")), "id_a")
-      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b")), "id_b")
-      .withColumn("cosine", cos6(s, "vec_a", "vec_b"))
+      .withColumn("cosine", cos6(s, "va", "vb"))
       .filter(col("cosine") >= 0.35)
       .select("id_a", "id_b", "cosine")
+      .distinct()
   }
 
   // ---------------------------------------------------------------------------
