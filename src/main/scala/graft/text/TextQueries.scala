@@ -848,7 +848,242 @@ object TextQueries {
       |  round(CAST(sum(term) AS DOUBLE), 6) AS kl_divergence
       |FROM terms GROUP BY source, s_total, vocab ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q80 — LM perplexity filter (CCNet, Wenzek et al. 2020 §4.3; the same
+  // signal FineWeb/RedPajama filter on): score every document by a bigram
+  // language model trained on the TARGET domain (lexicographically first
+  // source — the q79 deterministic stand-in for "Wikipedia"), then bucket
+  // the corpus into CCNet's head/middle/tail by the 33rd/66th score
+  // percentiles. Model: Laplace-smoothed bigram,
+  //   P(cur|prev) = (c(prev,cur) + 1) / (c(prev,·) + V),
+  // V = distinct token types in the target; score = mean negative log-prob
+  // over a doc's transitions (the log-perplexity), plus the unseen-bigram
+  // fraction (oov_rate).
+  // Shape at 100 TB:
+  //   - transitions collapse map-side to (doc, prev, cur, cnt) before the
+  //     one corpus shuffle (distinct bigrams per doc, not tokens);
+  //   - the LM is a vocab-bounded relation (distinct target bigrams — far
+  //     smaller than the corpus; ~10^7-10^8 rows even web-scale), joined
+  //     as a BROADCAST so the scoring join never shuffles the corpus; if a
+  //     target domain ever outgrew broadcast, the same plan shuffle-joins
+  //     on the 8-byte hashed bigram;
+  //   - the percentile pass runs over one row per document (the scores
+  //     relation), and the two cut points broadcast back as a single row.
+  // Determinism: per-(doc,bigram) terms are rounded to 12dp and summed as
+  // DECIMAL(28,12) (the q66/q79 convention); avg_nll is then one exact
+  // decimal→double cast and one IEEE division, identical in both engines;
+  // bucket compares 6dp-rounded scores against 6dp-rounded percentiles so
+  // interpolation ulp differences cannot flip a bucket.
+  val q80LmPerplexity: Q = (s, d) => {
+    val t = col("__t")
+    val docs = Tables.documents(s, d)
+    val toked = docs.withColumn("__t", toks).filter(size(t) >= 2)
+    val trans = toked.select(col("doc_id"), col("source"),
+      explode(transform(sequence(lit(1), size(t) - 1),
+        i => struct(element_at(t, i).as("prev"),
+          element_at(t, i + 1).as("cur")))).as("bg"))
+      .select(col("doc_id"), col("source"),
+        col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+    // materialize once: tcnt feeds the scoring side AND both model
+    // aggregates (cb, cu) — without the checkpoint each branch re-derives
+    // the explode+aggregate from its own corpus scan (the q69 "scan
+    // exactly once" discipline; rows are (doc, bigram, cnt) ~ token count
+    // at 16 bytes, disk-backed, far smaller than the text it replaces)
+    val tcnt = trans.groupBy("doc_id", "source", "prev", "cur")
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val tgtDf = docs.agg(min(col("source")).as("tgt"))
+    val tTrans = tcnt.crossJoin(broadcast(tgtDf))
+      .filter(col("source") === col("tgt"))
+    val cb = tTrans.groupBy("prev", "cur").agg(sum("cnt").as("cb"))
+    val cu = tTrans.groupBy("prev").agg(sum("cnt").as("cu"))
+    val voc = docs.crossJoin(broadcast(tgtDf))
+      .filter(col("source") === col("tgt"))
+      .select(explode(toks).as("tok")).agg(countDistinct("tok").as("v"))
+    val scores = tcnt
+      .join(broadcast(cb), Seq("prev", "cur"), "left")
+      .join(broadcast(cu), Seq("prev"), "left")
+      .crossJoin(broadcast(voc))
+      .select(col("doc_id"), col("source"), col("cnt"),
+        round(col("cnt").cast("double") *
+          log((coalesce(col("cb"), lit(0L)) + 1).cast("double") /
+            (coalesce(col("cu"), lit(0L)) + col("v")).cast("double")), 12)
+          .cast("decimal(28,12)").as("term"),
+        when(col("cb").isNull, col("cnt")).otherwise(0L).as("oov"))
+      .groupBy("doc_id", "source")
+      .agg(sum("term").as("slp"), sum("cnt").as("tn"), sum("oov").as("noov"))
+      .select(col("doc_id"), col("source"),
+        round(-col("slp").cast("double") / col("tn").cast("double"), 6)
+          .as("avg_nll"),
+        round(col("noov").cast("double") / col("tn").cast("double"), 6)
+          .as("oov_rate"))
+      // one row per doc; referenced twice (cut points + final output) —
+      // checkpoint so the scoring pipeline runs once, not twice
+      .localCheckpoint()
+    val cuts = scores.agg(
+      round(expr("percentile(avg_nll, 0.33)"), 6).as("p33"),
+      round(expr("percentile(avg_nll, 0.66)"), 6).as("p66"))
+    scores.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("source"), col("avg_nll"), col("oov_rate"),
+        when(col("avg_nll") <= col("p33"), "head")
+          .when(col("avg_nll") <= col("p66"), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+      .orderBy("doc_id")
+  }
+  val q80Sql: String =
+    """WITH toked AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+      |tgt AS (SELECT min(source) AS tgt FROM documents),
+      |trans AS (
+      |  SELECT doc_id, source, t[i+1] AS prev, t[i+2] AS cur
+      |  FROM (SELECT doc_id, source, t, unnest(range(len(t) - 1)) AS i
+      |        FROM toked WHERE len(t) >= 2)),
+      |tcnt AS (
+      |  SELECT doc_id, source, prev, cur, count(*) AS cnt
+      |  FROM trans GROUP BY 1, 2, 3, 4),
+      |ttr AS (SELECT * FROM tcnt WHERE source = (SELECT tgt FROM tgt)),
+      |cb AS (SELECT prev, cur, sum(cnt) AS cb FROM ttr GROUP BY 1, 2),
+      |cu AS (SELECT prev, sum(cnt) AS cu FROM ttr GROUP BY 1),
+      |voc AS (
+      |  SELECT count(DISTINCT tok) AS v
+      |  FROM (SELECT unnest(t) AS tok FROM toked
+      |        WHERE source = (SELECT tgt FROM tgt))),
+      |terms AS (
+      |  SELECT c.doc_id, c.source, c.cnt,
+      |    CAST(round(c.cnt * ln(
+      |      CAST(coalesce(cb.cb, 0) + 1 AS DOUBLE)
+      |        / CAST(coalesce(cu.cu, 0) + v AS DOUBLE)), 12)
+      |      AS DECIMAL(28,12)) AS term,
+      |    CASE WHEN cb.cb IS NULL THEN c.cnt ELSE 0 END AS oov
+      |  FROM tcnt c
+      |  LEFT JOIN cb ON c.prev = cb.prev AND c.cur = cb.cur
+      |  LEFT JOIN cu ON c.prev = cu.prev
+      |  CROSS JOIN voc),
+      |scores AS (
+      |  SELECT doc_id, source,
+      |    round(-CAST(sum(term) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6)
+      |      AS avg_nll,
+      |    round(CAST(sum(oov) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6)
+      |      AS oov_rate
+      |  FROM terms GROUP BY 1, 2),
+      |cuts AS (
+      |  SELECT round(quantile_cont(avg_nll, 0.33), 6) AS p33,
+      |         round(quantile_cont(avg_nll, 0.66), 6) AS p66
+      |  FROM scores)
+      |SELECT doc_id, source, avg_nll, oov_rate,
+      |  CASE WHEN avg_nll <= p33 THEN 'head'
+      |       WHEN avg_nll <= p66 THEN 'middle'
+      |       ELSE 'tail' END AS ppl_bucket
+      |FROM scores CROSS JOIN cuts ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q81 — winnowing fingerprint OVERLAP (Schleimer, Wilkerson & Aiken,
+  // SIGMOD 2003 — the MOSS detection step). q48 computes each doc's
+  // winnowing fingerprint PROFILE (per-window min, per-doc stats); q81 is
+  // the other half of the paper: the cross-document join that actually
+  // finds copies. Each doc's k-gram (k=4 tokens) hashes slide under a w=4
+  // window; every window contributes its RIGHTMOST MINIMAL hash (the
+  // paper's robust winnowing rule — q48 keeps plain window-mins, which
+  // over-select under ties), giving ~2/(w+1) density with the guarantee
+  // that any shared run of >= w+k-1 tokens yields at least one shared
+  // fingerprint. Docs sharing >= 2 surviving fingerprints are reported
+  // with their overlap count — the plagiarism/near-dup detection join.
+  // Hash = 32-bit md5 prefix (the q18/q79 portable idiom): winnowing
+  // SELECTS BY HASH VALUE, so unlike q78 the oracle must compute the
+  // identical hash — a hash-independent oracle is impossible by design,
+  // and md5-prefix keeps the generated SQL chain out of it.
+  // Shape at 100 TB:
+  //   - the w-way window membership explode collapses map-side into one
+  //     (doc, window) row before any shuffle; only selected fingerprints
+  //     (~2/(w+1) of positions, 12 bytes each) survive;
+  //   - fingerprints appearing in > WinnowDocCap docs are boilerplate
+  //     (the paper §5 drops them too) — killing them bounds the self-join
+  //     bucket fan-out exactly like q43/q63's band caps;
+  //   - the overlap join buckets on the 8-byte hash; per-pair counts are
+  //     map-side combinable.
+  val WinnowK = 4
+  val WinnowW = 4
+  val WinnowDocCap = 50
+  val WinnowMinShared = 2
+  val q81WinnowOverlap: Q = (s, d) => {
+    val k = WinnowK
+    val w = WinnowW
+    def h32(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    val t = col("__t")
+    val grams = Tables.documents(s, d)
+      .withColumn("__t", toks)
+      .filter(size(t) >= k + w - 1)
+      .select(col("doc_id"), (size(t) - (k - 1)).as("m"),
+        posexplode(transform(sequence(lit(1), size(t) - (k - 1)),
+          i => h32(array_join(slice(t, i, lit(k)), " "))))
+          .as(Seq("g0", "h")))
+      .select(col("doc_id"), col("m"), (col("g0") + 1).as("g"), col("h"))
+    // window j covers gram positions [j, j+w-1]; g belongs to windows
+    // j in [max(1, g-w+1), min(g, m-w+1)] (non-empty whenever m >= w,
+    // which size >= k+w-1 guarantees)
+    val member = grams.select(col("doc_id"), col("g"), col("h"),
+      explode(sequence(greatest(lit(1), col("g") - (w - 1)),
+        least(col("g"), col("m") - (w - 1)))).as("j"))
+    // rightmost minimal hash per window: lexicographic struct-min on
+    // (h asc, g desc) — deterministic even under hash ties
+    // fingerprints are referenced four times (boilerplate count, the
+    // anti-join, both sides of the overlap self-join) — checkpoint so the
+    // winnowing pipeline runs once; rows are (doc_id, h), ~2/(w+1) of
+    // gram positions at 16 bytes
+    val fp = member.groupBy("doc_id", "j")
+      .agg(min(struct(col("h"), (-col("g")).as("ng"))).as("sel"))
+      .select(col("doc_id"), col("sel.h").as("h"))
+      .distinct()
+      .localCheckpoint()
+    val boiler = fp.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > WinnowDocCap)
+    val kept = fp.join(boiler.select("h"), Seq("h"), "left_anti")
+      .localCheckpoint()
+    kept.select(col("h"), col("doc_id").as("doc_a"))
+      .join(kept.select(col("h"), col("doc_id").as("doc_b")), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
+      .orderBy("doc_a", "doc_b")
+  }
+  val q81Sql: String = {
+    val k = WinnowK
+    val w = WinnowW
+    s"""WITH toked AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= ${k + w - 1}),
+       |g AS (
+       |  SELECT doc_id, len(t) - ${k - 1} AS m, i + 1 AS g,
+       |    CAST(('0x' || substring(md5(
+       |      list_aggregate(t[i+1:i+$k], 'string_agg', ' ')), 1, 8))
+       |      AS BIGINT) AS h
+       |  FROM (SELECT doc_id, t, unnest(range(len(t) - ${k - 1})) AS i
+       |        FROM toked)),
+       |mem AS (
+       |  SELECT doc_id, g, h,
+       |    unnest(range(greatest(1, g - ${w - 1}),
+       |                 least(g, m - ${w - 1}) + 1)) AS j
+       |  FROM g),
+       |minh AS (SELECT doc_id, j, min(h) AS mh FROM mem GROUP BY 1, 2),
+       |selg AS (
+       |  SELECT m.doc_id, m.j, max(m.g) AS g
+       |  FROM mem m JOIN minh USING (doc_id, j)
+       |  WHERE m.h = mh GROUP BY 1, 2),
+       |fp0 AS (
+       |  SELECT DISTINCT s.doc_id, gr.h
+       |  FROM selg s JOIN g gr ON s.doc_id = gr.doc_id AND s.g = gr.g),
+       |boiler AS (SELECT h FROM fp0 GROUP BY h HAVING count(*) > $WinnowDocCap),
+       |fp AS (SELECT * FROM fp0 ANTI JOIN boiler USING (h))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+       |FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q80_lm_perplexity" -> q80LmPerplexity,
+    "q81_winnow_overlap" -> q81WinnowOverlap,
     "q64_global_index" -> q64GlobalIndex,
     "q65_tfidf_topk" -> q65TfIdf,
     "q66_source_kl" -> q66SourceKl,
@@ -868,6 +1103,8 @@ object TextQueries {
     "q37_lang_id" -> q37LangId)
 
   val oracles: Map[String, String] = Map(
+    "q80_lm_perplexity" -> q80Sql,
+    "q81_winnow_overlap" -> q81Sql,
     "q64_global_index" -> q64Sql,
     "q65_tfidf_topk" -> q65Sql,
     "q66_source_kl" -> q66Sql,

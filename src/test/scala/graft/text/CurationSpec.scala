@@ -98,6 +98,94 @@ class CurationSpec extends SparkSpec {
       s"target-like doc must outscore disjoint doc: ${out(10L)} vs ${out(11L)}")
   }
 
+  test("q80: disjoint raw doc hits the ln(V) OOV ceiling; target-like text scores lower") {
+    // Target domain = min(source) = "a". A document whose every bigram is
+    // unseen scores exactly avg_nll = ln(V) (each Laplace term is
+    // ln(1/(0+V))) with oov_rate 1.0 — a closed form the query must hit.
+    // A raw doc written in the target's own transition structure must
+    // score strictly lower, and bucket labels must be consistent with the
+    // score order (every head score <= every middle <= every tail).
+    val dir = java.nio.file.Files.createTempDirectory("graft-ppl").toString
+    val tgtText = (i: Int) => (1 to 40).map(j => s"q${(i + j) % 10 + 1}").mkString(" ")
+    val rows = Seq(
+      (1L, tgtText(0), "a"), (2L, tgtText(3), "a"), (3L, tgtText(6), "a"),
+      (10L, tgtText(1), "b"),                        // target-like raw doc
+      (11L, (1 to 40).map(j => s"zz$j").mkString(" "), "b")) // fully OOV doc
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextQueries.q80LmPerplexity(spark, dir).collect()
+    assert(out.map(_.getLong(0)).toSet === Set(1L, 2L, 3L, 10L, 11L),
+      "CCNet scores every document, target domain included")
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getDouble(2), r.getDouble(3), r.getString(4))).toMap
+    val v = rows.filter(_._3 == "a").flatMap(_._2.split(" ")).distinct.size
+    val expected = BigDecimal(math.log(v))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(byId(11L)._1 === expected,
+      s"fully-OOV doc must score ln(V)=ln($v): got ${byId(11L)._1}")
+    assert(byId(11L)._2 === 1.0)
+    assert(byId(10L)._1 < byId(11L)._1,
+      "target-like raw doc must out-score (lower nll) the disjoint doc")
+    assert(byId(10L)._2 < 1.0)
+    val byBucket = out.groupBy(_.getString(4))
+      .view.mapValues(_.map(_.getDouble(2))).toMap
+    for {
+      h <- byBucket.getOrElse("head", Array.empty[Double])
+      m <- byBucket.getOrElse("middle", Array.empty[Double])
+    } assert(h <= m, s"head score $h above middle score $m")
+    for {
+      m <- byBucket.getOrElse("middle", Array.empty[Double])
+      t <- byBucket.getOrElse("tail", Array.empty[Double])
+    } assert(m <= t, s"middle score $m above tail score $t")
+  }
+
+  // reference winnowing (Schleimer et al. 2003, robust rule: rightmost
+  // minimal hash per window), brute-forced over the same portable hash
+  private def md5h32(s: String): Long =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .take(4).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+
+  private def winnowRef(tokens: Seq[String]): Set[Long] = {
+    val k = TextQueries.WinnowK
+    val w = TextQueries.WinnowW
+    val hs = tokens.sliding(k).map(_.mkString(" ")).map(md5h32).toVector
+    (0 to hs.length - w).map { j =>
+      val win = hs.slice(j, j + w)
+      val mh = win.min
+      hs((j until j + w).filter(hs(_) == mh).max)
+    }.toSet
+  }
+
+  test("q81: overlap counts equal brute-force winnowing; boilerplate cap kills mass dups") {
+    // Docs 1 and 2 share a 20-token run (>= w+k-1 guarantees shared
+    // fingerprints); doc 3 is unique. n_shared must equal the size of the
+    // brute-force fingerprint intersection.
+    val dir = java.nio.file.Files.createTempDirectory("graft-winnow").toString
+    val shared = (1 to 20).map(i => s"s$i")
+    val d1 = (1 to 10).map(i => s"u$i") ++ shared ++ (11 to 18).map(i => s"u$i")
+    val d2 = (1 to 6).map(i => s"v$i") ++ shared ++ (7 to 15).map(i => s"v$i")
+    val d3 = (1 to 40).map(i => s"c$i")
+    corpus(dir, 1L -> d1.mkString(" "), 2L -> d2.mkString(" "),
+      3L -> d3.mkString(" "))
+    val out = TextQueries.q81WinnowOverlap(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expect = (winnowRef(d1) intersect winnowRef(d2)).size.toLong
+    assert(expect >= 1, "planted run must guarantee a shared fingerprint")
+    assert(out.keySet === Set((1L, 2L)), s"only docs 1,2 overlap: $out")
+    assert(out((1L, 2L)) === expect,
+      s"n_shared must equal brute-force winnowing intersection ($expect)")
+    // 60 identical docs: every shared fingerprint has df=60 > WinnowDocCap
+    // => all dropped, no pairs — the boilerplate guard, not an explosion
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-winnow2").toString
+    val same = (1 to 30).map(i => s"b$i").mkString(" ")
+    corpus(dir2, (1L to 60L).map(_ -> same): _*)
+    assert(TextQueries.q81WinnowOverlap(spark, dir2).collect().isEmpty,
+      "fingerprints in > WinnowDocCap docs are boilerplate and must drop")
+  }
+
   test("q58: a verbatim eval copy of a train doc is flagged; disjoint text is not") {
     val dir = java.nio.file.Files.createTempDirectory("graft-decon").toString
     val shared = (1 to 12).map(i => s"tok$i").mkString(" ")
