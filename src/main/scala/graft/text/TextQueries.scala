@@ -874,7 +874,12 @@ object TextQueries {
   // decimal→double cast and one IEEE division, identical in both engines;
   // bucket compares 6dp-rounded scores against 6dp-rounded percentiles so
   // interpolation ulp differences cannot flip a bucket.
-  val q80LmPerplexity: Q = (s, d) => {
+  /** The scoring relation (one row per doc) pre-checkpoint — factored out
+    * so PlanSpec can assert the model joins broadcast (the checkpoint in
+    * q80LmPerplexity truncates lineage, hiding them from the final plan).
+    */
+  private[graft] def q80Scores(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     val t = col("__t")
     val docs = Tables.documents(s, d)
     val toked = docs.withColumn("__t", toks).filter(size(t) >= 2)
@@ -900,7 +905,7 @@ object TextQueries {
     val voc = docs.crossJoin(broadcast(tgtDf))
       .filter(col("source") === col("tgt"))
       .select(explode(toks).as("tok")).agg(countDistinct("tok").as("v"))
-    val scores = tcnt
+    tcnt
       .join(broadcast(cb), Seq("prev", "cur"), "left")
       .join(broadcast(cu), Seq("prev"), "left")
       .crossJoin(broadcast(voc))
@@ -917,9 +922,12 @@ object TextQueries {
           .as("avg_nll"),
         round(col("noov").cast("double") / col("tn").cast("double"), 6)
           .as("oov_rate"))
-      // one row per doc; referenced twice (cut points + final output) —
-      // checkpoint so the scoring pipeline runs once, not twice
-      .localCheckpoint()
+  }
+
+  val q80LmPerplexity: Q = (s, d) => {
+    // one row per doc; referenced twice (cut points + final output) —
+    // checkpoint so the scoring pipeline runs once, not twice
+    val scores = q80Scores(s, d).localCheckpoint()
     val cuts = scores.agg(
       round(expr("percentile(avg_nll, 0.33)"), 6).as("p33"),
       round(expr("percentile(avg_nll, 0.66)"), 6).as("p66"))
@@ -1005,7 +1013,12 @@ object TextQueries {
   val WinnowW = 4
   val WinnowDocCap = 50
   val WinnowMinShared = 2
-  val q81WinnowOverlap: Q = (s, d) => {
+  /** Per-doc distinct winnowing fingerprints pre-checkpoint — factored out
+    * so PlanSpec can assert the selection pipeline's shape (map-side
+    * combined window-min, no cartesian anywhere).
+    */
+  private[graft] def winnowFingerprints(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     val k = WinnowK
     val w = WinnowW
     def h32(c: org.apache.spark.sql.Column) =
@@ -1027,15 +1040,18 @@ object TextQueries {
         least(col("g"), col("m") - (w - 1)))).as("j"))
     // rightmost minimal hash per window: lexicographic struct-min on
     // (h asc, g desc) — deterministic even under hash ties
+    member.groupBy("doc_id", "j")
+      .agg(min(struct(col("h"), (-col("g")).as("ng"))).as("sel"))
+      .select(col("doc_id"), col("sel.h").as("h"))
+      .distinct()
+  }
+
+  val q81WinnowOverlap: Q = (s, d) => {
     // fingerprints are referenced four times (boilerplate count, the
     // anti-join, both sides of the overlap self-join) — checkpoint so the
     // winnowing pipeline runs once; rows are (doc_id, h), ~2/(w+1) of
     // gram positions at 16 bytes
-    val fp = member.groupBy("doc_id", "j")
-      .agg(min(struct(col("h"), (-col("g")).as("ng"))).as("sel"))
-      .select(col("doc_id"), col("sel.h").as("h"))
-      .distinct()
-      .localCheckpoint()
+    val fp = winnowFingerprints(s, d).localCheckpoint()
     val boiler = fp.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") > WinnowDocCap)
     val kept = fp.join(boiler.select("h"), Seq("h"), "left_anti")

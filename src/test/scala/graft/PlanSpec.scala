@@ -188,4 +188,38 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"),
       s"q76 aggregates must map-side combine:\n${p.take(1500)}")
   }
+
+  test("q80: the LM scoring joins broadcast — the corpus never sort-merges") {
+    // the bigram model (cb/cu) and the 1-row vocab count are vocab-bounded
+    // relations; at 100 TB the corpus-side scoring join must consume them
+    // as broadcasts, never shuffle the (doc, bigram, cnt) relation into a
+    // sort-merge against the model. Asserted on the pre-checkpoint scores
+    // plan (q80Scores) because the query's localCheckpoint truncates
+    // lineage in the final plan.
+    val p = text.TextQueries.q80Scores(spark, d)
+      .queryExecution.sparkPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"model joins must broadcast:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must never sort-merge against the LM:\n${p.take(1500)}")
+    assert(p.contains("partial_sum"),
+      s"per-doc term sums must map-side combine:\n${p.take(1500)}")
+  }
+
+  test("q81: winnowing selection map-side combines; overlap join is never a nested loop") {
+    val sel = text.TextQueries.winnowFingerprints(spark, d)
+      .queryExecution.sparkPlan.toString
+    assert(sel.contains("partial_min"),
+      s"per-window struct-min must map-side combine:\n${sel.take(1500)}")
+    assert(!sel.contains("CartesianProduct") &&
+      !sel.contains("BroadcastNestedLoopJoin"),
+      s"winnowing selection is a single-relation pipeline:\n${sel.take(1500)}")
+    val p = plan("q81_winnow_overlap")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the overlap join must bucket on the fingerprint hash:\n${p.take(1500)}")
+    assert(p.contains("Join"), "expected a hash-bucketed overlap join")
+    assert(p.contains("partial_count"),
+      s"pair counts must map-side combine:\n${p.take(1500)}")
+  }
 }
