@@ -293,9 +293,11 @@ object TextQueries {
   //     array_join + xxhash64, the q58 shingle idiom); only slim
   //     (doc_id, pos, h) rows ever shuffle — 24 bytes per window, the
   //     same hash-before-shuffle rule as q35's exact dedup;
-  //   - the frequency count partial-aggregates map-side; the dup-window
-  //     join runs on the 8-byte hash with GenerateStatsGuard pinning the
-  //     Generate-derived sides off the broadcast path;
+  //   - corpus-wide window frequency is ONE count-over-window pass
+  //     partitioned by the hash — not a groupBy + self-join, which would
+  //     derive the exploded relation twice and shuffle it twice (measured
+  //     on the replica ladder: ~1.5x less wall at 1x/10x; flat at 100x
+  //     where the hash shuffle itself dominates either form);
   //   - span merging is one keyed window per doc (partition-local sort,
   //     no global ordering).
   // Internally Spark groups by xxhash64 of the window string (what you
@@ -316,9 +318,11 @@ object TextQueries {
           i => xxhash64(array_join(slice(toks, i, lit(w)), " "))))
           .as(Seq("pos0", "h")))
       .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("h"))
-    val dupH = wins.groupBy("h").agg(count(lit(1)).as("occ"))
+    val dup = wins
+      .withColumn("occ", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("h")))
       .filter(col("occ") >= 2)
-    val dup = wins.join(dupH.select("h"), "h")
+      .drop("occ")
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     dup
@@ -398,9 +402,15 @@ object TextQueries {
       .otherwise(array().cast("array<string>"))
     val grams = docs.select(col("doc_id"), col("source"),
       explode(concat(toks, bi)).as("gram"))
+    // (doc, bucket, cnt) feeds BOTH the bucket model and the per-doc
+    // scoring — checkpoint so the gram explode + md5 bucketing + partial
+    // aggregation run once, not once per consumer (the q69 "scan exactly
+    // once" discipline; measured 1.5-1.8x less wall across the 1x-100x
+    // replica ladder)
     val db = grams
       .select(col("doc_id"), col("source"), bucketOf(col("gram")).as("bucket"))
       .groupBy("doc_id", "source", "bucket").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val tgtDf = docs.agg(min(col("source")).as("tgt"))
     val withTgt = db.crossJoin(broadcast(tgtDf))
       .withColumn("is_target", col("source") === col("tgt"))
