@@ -434,7 +434,10 @@ object TextQueries {
         round(col("lw").cast("double"), 6).as("log_weight"))
       .orderBy("doc_id")
   }
-  val q79Sql: String = {
+  /** q79's generated chain WITHOUT the final ORDER BY, reusable as a CTE
+    * body (the q74/q76 shared-chain idiom) — q82 embeds it.
+    */
+  private val q79Core: String = {
     val b = DsirBuckets
     s"""WITH toked AS (
        |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
@@ -469,8 +472,40 @@ object TextQueries {
        |  FROM db d JOIN lam l USING (bucket)
        |  WHERE d.source != (SELECT tgt FROM tgt))
        |SELECT doc_id, source, round(CAST(sum(term) AS DOUBLE), 6) AS log_weight
-       |FROM terms GROUP BY doc_id, source ORDER BY doc_id""".stripMargin
+       |FROM terms GROUP BY doc_id, source""".stripMargin
   }
+  val q79Sql: String = q79Core + " ORDER BY doc_id"
+
+  // ---------------------------------------------------------------------------
+  // q82 — DSIR importance RESAMPLING (the execution half of Xie et al.
+  // 2023, which q79 only scores): draw a fixed-size sample proportional
+  // to the importance weights via the Gumbel-top-k trick (Kool, van Hoof
+  // & Welling 2019: top-k of log w_i + Gumbel noise IS a weighted sample
+  // without replacement — exactly A-ES in log space, so no exp(log_weight)
+  // overflow for extreme weights). Noise is deterministic: u_i from the
+  // md5-prefix of doc_id (the q18/q72 idiom, shifted to (0,1) strictly so
+  // ln(-ln(u)) is always finite), g_i = -ln(-ln(u_i)). Composition
+  // finisher like q74/q59: the oracle embeds q79's generated CTE chain.
+  // Plans as TakeOrderedAndProject over q79's output — per-partition
+  // heaps, no global sort; the per-doc key is scan-local arithmetic.
+  val DsirSampleK = 50
+  val q82DsirSample: Q = (s, d) => {
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    q79DsirWeights(s, d)
+      .withColumn("gumbel_key", round(col("log_weight") - log(-log(u)), 6))
+      .orderBy(desc("gumbel_key"), asc("doc_id"))
+      .limit(DsirSampleK)
+      .select("doc_id", "source", "log_weight", "gumbel_key")
+  }
+  val q82Sql: String =
+    s"""WITH w AS ($q79Core)
+       |SELECT doc_id, source, log_weight,
+       |  round(log_weight - ln(-ln(
+       |    (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+       |       AS BIGINT) + 0.5) / 4294967296.0)), 6) AS gumbel_key
+       |FROM w
+       |ORDER BY gumbel_key DESC, doc_id LIMIT $DsirSampleK""".stripMargin
 
   // ---------------------------------------------------------------------------
   // q59 — the curation pipeline COMPOSED end-to-end, the way a real corpus
@@ -1110,6 +1145,7 @@ object TextQueries {
   val queries: Map[String, Q] = Map(
     "q80_lm_perplexity" -> q80LmPerplexity,
     "q81_winnow_overlap" -> q81WinnowOverlap,
+    "q82_dsir_sample" -> q82DsirSample,
     "q64_global_index" -> q64GlobalIndex,
     "q65_tfidf_topk" -> q65TfIdf,
     "q66_source_kl" -> q66SourceKl,
@@ -1131,6 +1167,7 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "q80_lm_perplexity" -> q80Sql,
     "q81_winnow_overlap" -> q81Sql,
+    "q82_dsir_sample" -> q82Sql,
     "q64_global_index" -> q64Sql,
     "q65_tfidf_topk" -> q65Sql,
     "q66_source_kl" -> q66Sql,

@@ -206,6 +206,12 @@ class PlanSpec extends SparkSpec {
       s"per-doc term sums must map-side combine:\n${p.take(1500)}")
   }
 
+  test("q82: weighted sample plans as TakeOrderedAndProject — no global sort") {
+    val p = plan("q82_dsir_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"fixed-size sample must heap per partition, not globally sort:\n${p.take(1500)}")
+  }
+
   test("q81: winnowing selection map-side combines; overlap join is never a nested loop") {
     val sel = text.TextQueries.winnowFingerprints(spark, d)
       .queryExecution.sparkPlan.toString

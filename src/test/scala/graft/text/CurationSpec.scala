@@ -186,6 +186,41 @@ class CurationSpec extends SparkSpec {
       "fingerprints in > WinnowDocCap docs are boilerplate and must drop")
   }
 
+  test("q82: Gumbel-top-k sample equals brute force, only raw docs, deterministic") {
+    // Same corpus shape as the q79 spec but with enough raw docs that the
+    // k=50 cap bites nothing (selection order is still fully exercised).
+    // Brute force replicates key = round(log_weight - ln(-ln(u)), 6) from
+    // q79's published scores — same JVM Math.log, so exact equality.
+    val dir = java.nio.file.Files.createTempDirectory("graft-gumbel").toString
+    val tgtText = (i: Int) => (1 to 30).map(j => s"q${(i * 7 + j) % 20 + 1}").mkString(" ")
+    val rows = Seq((1L, tgtText(1), "a"), (2L, tgtText(2), "a")) ++
+      (10L to 29L).map(i => (i, tgtText(i.toInt), "b"))
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val weights = TextQueries.q79DsirWeights(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    def u(id: Long): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(4).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+      (h + 0.5) / 4294967296.0
+    }
+    val brute = weights.map { case (id, src, lw) =>
+      val key = BigDecimal(lw - math.log(-math.log(u(id))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, src, lw, key)
+    }.sortBy(t => (-t._4, t._1)).take(TextQueries.DsirSampleK)
+    val got = TextQueries.q82DsirSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq === brute.toSeq)
+    assert(got.forall(_._2 == "b"), "only raw docs are sampled (q79 scores only raw)")
+    val again = TextQueries.q82DsirSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    assert(again.toSeq === got.map(r => (r._1, r._4)).toSeq, "sampling is deterministic")
+  }
+
   test("q58: a verbatim eval copy of a train doc is flagged; disjoint text is not") {
     val dir = java.nio.file.Files.createTempDirectory("graft-decon").toString
     val shared = (1 to 12).map(i => s"tok$i").mkString(" ")
