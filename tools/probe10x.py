@@ -25,7 +25,7 @@ FAMILIES = {
     "vectors": ["q40", "q41", "q49", "q51", "q69", "q73", "q74", "q76"],
     "multimodal": ["q75"],
     "curation": ["q56", "q57", "q58", "q59", "q61", "q62", "q64", "q65",
-                 "q66", "q72", "q79", "q80"],
+                 "q66", "q72", "q79", "q80", "q82"],
     "domain": ["q45", "q53", "q54"],
 }
 
