@@ -130,6 +130,66 @@ object Multimodal {
       (img.getWidth, img.getHeight)
     }
 
+    /** 64-bit difference hash (dHash — the standard perceptual image
+      * fingerprint: Krawetz's 9x8 gradient hash). The luma plane is
+      * sampled onto a 9x8 grid with EXPLICIT clamped bilinear
+      * interpolation (not Java2D `drawImage`, whose downscale kernel is
+      * pipeline-defined — the grid here is fully specified by this code,
+      * and a 9x8 input maps onto itself exactly); each grid sample is
+      * rounded to the nearest integer (canonical dHash compares 0-255
+      * luma — and without it, interpolating between EQUAL doubles with
+      * different weights drifts by 1 ulp and flips strict-< bits on
+      * flat regions); bit (y*8 + x), packed
+      * MSB-first, is set iff grid(y,x) < grid(y,x+1). Near-duplicate
+      * images at any resolution land within a small Hamming distance —
+      * the multimodal analog of q44's text SimHash, and the same 64-bit
+      * shape, so q63/q77's banded Hamming pair machinery applies
+      * unchanged at corpus scale.
+      */
+    def dHash64(bytes: Array[Byte]): Long = {
+      val img = decode(bytes)
+      val w = img.getWidth
+      val h = img.getHeight
+      val luma = new Array[Double](w * h)
+      var y = 0
+      while (y < h) {
+        val row = img.getRGB(0, y, w, 1, null, 0, w)
+        var x = 0
+        while (x < w) {
+          val p = row(x)
+          luma(y * w + x) = 0.299 * ((p >> 16) & 0xff) +
+            0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      def cl(v: Int, n: Int): Int = math.min(n - 1, math.max(0, v))
+      def at(xs: Double, ys: Double): Double = {
+        val x0 = math.floor(xs).toInt
+        val y0 = math.floor(ys).toInt
+        val fx = xs - x0
+        val fy = ys - y0
+        val xa = cl(x0, w); val xb = cl(x0 + 1, w)
+        val ya = cl(y0, h); val yb = cl(y0 + 1, h)
+        (1 - fy) * ((1 - fx) * luma(ya * w + xa) + fx * luma(ya * w + xb)) +
+          fy * ((1 - fx) * luma(yb * w + xa) + fx * luma(yb * w + xb))
+      }
+      var hash = 0L
+      var gy = 0
+      while (gy < 8) {
+        val ys = (gy + 0.5) * h / 8.0 - 0.5
+        var gx = 0
+        while (gx < 8) {
+          val a = math.rint(at((gx + 0.5) * w / 9.0 - 0.5, ys))
+          val b = math.rint(at((gx + 1.5) * w / 9.0 - 0.5, ys))
+          if (a < b) hash |= 1L << (63 - (gy * 8 + gx))
+          gx += 1
+        }
+        gy += 1
+      }
+      hash
+    }
+
     /** Bilinear resize, re-encoded as PNG. */
     def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
       val src = decode(bytes)
@@ -223,6 +283,9 @@ object Multimodal {
     /** "Decode one frame": deterministic bytes for (bytes, frameIdx). */
     def frame(bytes: Array[Byte], frameIdx: Int, w: Int, h: Int): Array[Byte] =
       resize(bytes ++ Array(frameIdx.toByte), w, h)
+
+    /** Deterministic stand-in perceptual hash for codec-less formats. */
+    def dHash64(bytes: Array[Byte]): Long = h64(bytes, 6)
   }
 
   /** Image decode + feature extraction: one codec "session" per partition,
@@ -298,6 +361,26 @@ object Multimodal {
           StubCodec.frame(m.bytes, idx, m.width, m.height))
       }
     }
+  }
+
+  /** Perceptual hashes for the image rows: (media_id, dhash). At corpus
+    * scale the BYTES stay in this narrow stage — only 16-byte hash rows
+    * ever shuffle, and the pair generation downstream is the q63/q77
+    * banded-Hamming shape (dhash is bit-compatible with simhash64's
+    * 64-bit signature space). Stub formats hash deterministically so the
+    * plumbing is testable without a codec.
+    */
+  def dHashes(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "image").mapPartitions { rows =>
+      rows.map { m =>
+        val h =
+          if (JdkCodec.imageFormats(m.format)) JdkCodec.dHash64(m.bytes)
+          else StubCodec.dHash64(m.bytes)
+        (m.media_id, h)
+      }
+    }.toDF("media_id", "dhash")
   }
 
   /** Corpus rollup over extracted features (bytes are long gone by here —

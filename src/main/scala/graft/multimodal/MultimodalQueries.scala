@@ -155,8 +155,70 @@ object MultimodalQueries {
       |) AS t(item, metric, value)
       |ORDER BY item, metric""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q83 — perceptual image dedup (dHash, the 9x8 difference hash): the
+  // multimodal counterpart of the text dedup family. Five analytic image
+  // fixtures whose hashes are DERIVED, not captured (closed forms below);
+  // pairs within Hamming <= DHashHammingBar are the near-duplicates.
+  // The oracle is a literal VALUES table of the expected pairs, so a
+  // decode, sampling-grid, bit-packing, OR pair-join regression trips the
+  // driver's hash gate. Closed forms:
+  //   - img_gray  (8x8 solid):      no strict increase anywhere → hash 0
+  //   - img_grad  (8x8 ramp, 32x):  strictly increasing columns stay
+  //     strictly increasing under clamped bilinear at any width → all 64
+  //     bits → hash -1. Same content class as img_ramp at a DIFFERENT
+  //     resolution — their distance 0 is the point of perceptual hashing.
+  //   - img_ramp  (9x8 ramp, 28x):  9x8 maps onto the grid exactly → all
+  //     bits → -1
+  //   - img_ramp_rev (reversed):    no increase → 0
+  //   - img_ramp_flip (row 0 opens 56,28): exactly bit (0,0) differs → 1
+  //     bit off img_ramp → Hamming 1
+  // Expected pairs at bar 8: (grad,ramp) 0, (gray,ramp_rev) 0,
+  // (grad,ramp_flip) 1, (ramp,ramp_flip) 1.
+  // Scale shape: bytes never leave the decode stage (only 16-byte hash
+  // rows shuffle); the tiny self-join here becomes q63/q77's banded
+  // Hamming pair generation unchanged at corpus scale — dhash shares
+  // simhash64's 64-bit signature space.
+  val DHashHammingBar = 8
+  val q83ImageDhash: Q = (s, _) => {
+    import s.implicits._
+    val media = s.createDataset(Seq(
+      Multimodal.MediaRow(1L, "image", resource("img_gray_8x8.png"),
+        8, 8, 0, 0, 0, "png"),
+      Multimodal.MediaRow(2L, "image", resource("img_grad_8x8.png"),
+        8, 8, 0, 0, 0, "png"),
+      Multimodal.MediaRow(3L, "image", resource("img_ramp_9x8.png"),
+        9, 8, 0, 0, 0, "png"),
+      Multimodal.MediaRow(4L, "image", resource("img_ramp_rev_9x8.png"),
+        9, 8, 0, 0, 0, "png"),
+      Multimodal.MediaRow(5L, "image", resource("img_ramp_flip_9x8.png"),
+        9, 8, 0, 0, 0, "png"))).repartition(3)
+    val names = Seq(
+      (1L, "img_gray"), (2L, "img_grad"), (3L, "img_ramp"),
+      (4L, "img_ramp_rev"), (5L, "img_ramp_flip")).toDF("media_id", "item")
+    val hashes = Multimodal.dHashes(media)
+      .join(broadcast(names), "media_id")
+    hashes.select(col("item").as("item_a"), col("dhash").as("ha"))
+      .join(hashes.select(col("item").as("item_b"), col("dhash").as("hb")),
+        col("item_a") < col("item_b"))
+      .select(col("item_a"), col("item_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= DHashHammingBar)
+      .orderBy("item_a", "item_b")
+  }
+  private val q83Sql: String =
+    """SELECT item_a, item_b, CAST(hamming AS BIGINT) AS hamming FROM (VALUES
+      |  ('img_grad', 'img_ramp',      0),
+      |  ('img_grad', 'img_ramp_flip', 1),
+      |  ('img_gray', 'img_ramp_rev',  0),
+      |  ('img_ramp', 'img_ramp_flip', 1)
+      |) AS t(item_a, item_b, hamming)
+      |ORDER BY item_a, item_b""".stripMargin
+
   val queries: Map[String, Q] =
-    Map("q75_multimodal_decode" -> q75MultimodalDecode)
+    Map("q75_multimodal_decode" -> q75MultimodalDecode,
+      "q83_image_dhash" -> q83ImageDhash)
   val oracles: Map[String, String] =
-    Map("q75_multimodal_decode" -> q75Sql)
+    Map("q75_multimodal_decode" -> q75Sql,
+      "q83_image_dhash" -> q83Sql)
 }

@@ -178,6 +178,38 @@ class MultimodalSpec extends SparkSpec {
     assert(m(("img_gray", "resized_mean")) === 128.0) // constant survives resample
   }
 
+  test("dHash: closed forms, cross-resolution invariance, single-bit flips") {
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    // solid: no strict increase anywhere -> all-zero hash
+    assert(JdkCodec.dHash64(pngBytes(8, 8)((_, _) => gray(128))) === 0L)
+    // strictly increasing columns -> all 64 bits, at ANY resolution (the
+    // perceptual-hash property: same content, different size, same hash)
+    val ramp9x8 = JdkCodec.dHash64(pngBytes(9, 8)((x, _) => gray(28 * x)))
+    val ramp18x16 = JdkCodec.dHash64(pngBytes(18, 16)((x, _) => gray(14 * x)))
+    val ramp64x64 = JdkCodec.dHash64(pngBytes(64, 64)((x, _) => gray(3 * x)))
+    assert(ramp9x8 === -1L)
+    assert(ramp18x16 === ramp9x8)
+    assert(ramp64x64 === ramp9x8)
+    // reversing one comparison flips exactly that bit
+    val flip = JdkCodec.dHash64(pngBytes(9, 8) { (x, y) =>
+      if (y == 0 && x == 0) gray(56)
+      else if (y == 0 && x == 1) gray(28)
+      else gray(28 * x)
+    })
+    assert(java.lang.Long.bitCount(flip ^ ramp9x8) === 1)
+    assert((flip ^ ramp9x8) === (1L << 63), "bit (0,0) packs MSB-first")
+    // stub hash is deterministic and format-gated
+    val b = Array[Byte](1, 2, 3)
+    assert(StubCodec.dHash64(b) === StubCodec.dHash64(Array[Byte](1, 2, 3)))
+    val rows = Seq(
+      MediaRow(1L, "image", pngBytes(9, 8)((x, _) => gray(28 * x)),
+        9, 8, 0, 0, 0, "png"),
+      MediaRow(2L, "image", b, 8, 8, 0, 0, 0, "webp")).toDS()
+    val hs = dHashes(rows).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(1L) === -1L)
+    assert(hs(2L) === StubCodec.dHash64(b))
+  }
+
   test("undecodable image bytes fail loudly, never silently zero") {
     val rows = Seq(MediaRow(99L, "image", Array[Byte](1, 2, 3),
       8, 8, 0, 0, 0, "png")).toDS()
