@@ -206,8 +206,10 @@ object Multimodal {
       out.toByteArray
     }
 
-    /** (RMS of channel 0 in [-1,1) units, zero-crossing rate in [0,1]). */
-    def audioStats(bytes: Array[Byte]): (Double, Double) = {
+    /** Channel 0 as normalized [-1,1) doubles (signed 16-bit PCM
+      * conversion, any container the JDK reads).
+      */
+    private def pcmChannel0(bytes: Array[Byte]): Array[Double] = {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
@@ -221,23 +223,71 @@ object Multimodal {
         val stride = 2 * fmt.getChannels
         val n = data.length / stride
         require(n > 0, "empty audio stream")
-        var sumSq = 0.0
-        var crossings = 0L
-        var prevNeg = false
+        val out = new Array[Double](n)
         var i = 0
         while (i < n) {
           val off = i * stride // channel 0 of an interleaved frame
-          val s = (((data(off + 1) & 0xff) << 8) | (data(off) & 0xff)).toShort
+          out(i) = (((data(off + 1) & 0xff) << 8) | (data(off) & 0xff)).toShort
             .toDouble / 32768.0
-          sumSq += s * s
-          val neg = s < 0
-          if (i > 0 && neg != prevNeg) crossings += 1
-          prevNeg = neg
           i += 1
         }
-        (math.sqrt(sumSq / n),
-          if (n > 1) crossings.toDouble / (n - 1) else 0.0)
+        out
       } finally in.close()
+    }
+
+    /** (RMS of channel 0 in [-1,1) units, zero-crossing rate in [0,1]). */
+    def audioStats(bytes: Array[Byte]): (Double, Double) = {
+      val s = pcmChannel0(bytes)
+      val n = s.length
+      var sumSq = 0.0
+      var crossings = 0L
+      var prevNeg = false
+      var i = 0
+      while (i < n) {
+        sumSq += s(i) * s(i)
+        val neg = s(i) < 0
+        if (i > 0 && neg != prevNeg) crossings += 1
+        prevNeg = neg
+        i += 1
+      }
+      (math.sqrt(sumSq / n),
+        if (n > 1) crossings.toDouble / (n - 1) else 0.0)
+    }
+
+    /** 64-bit audio fingerprint: the energy-delta hash (the sign-of-
+      * band-energy-difference shape of Haitsma & Kalker's robust audio
+      * fingerprint, collapsed to one full-band energy per frame). The
+      * signal is split into 65 contiguous frames (frame i covers samples
+      * [i*n/65, (i+1)*n/65), integer division — any length maps onto the
+      * same grid); bit i, packed MSB-first, is set iff mean energy rises
+      * strictly from frame i to frame i+1. Constant-envelope signals hash
+      * to 0; monotone-envelope signals to all-ones, at ANY sample count —
+      * the perceptual property, mirroring dHash64's cross-resolution
+      * invariance. 64-bit, so q63/q77's banded Hamming pair machinery is
+      * the corpus-scale near-dup path.
+      */
+    def audioFingerprint64(bytes: Array[Byte]): Long = {
+      val s = pcmChannel0(bytes)
+      val n = s.length
+      require(n >= 65, s"audio fingerprint needs >= 65 samples, got $n")
+      val energy = new Array[Double](65)
+      var f = 0
+      while (f < 65) {
+        val lo = f * n / 65
+        val hi = (f + 1) * n / 65
+        var sum = 0.0
+        var i = lo
+        while (i < hi) { sum += s(i) * s(i); i += 1 }
+        energy(f) = sum / math.max(1, hi - lo)
+        f += 1
+      }
+      var hash = 0L
+      var b = 0
+      while (b < 64) {
+        if (energy(b) < energy(b + 1)) hash |= 1L << (63 - b)
+        b += 1
+      }
+      hash
     }
   }
 
@@ -286,6 +336,9 @@ object Multimodal {
 
     /** Deterministic stand-in perceptual hash for codec-less formats. */
     def dHash64(bytes: Array[Byte]): Long = h64(bytes, 6)
+
+    /** Deterministic stand-in audio fingerprint for codec-less formats. */
+    def audioFingerprint64(bytes: Array[Byte]): Long = h64(bytes, 7)
   }
 
   /** Image decode + feature extraction: one codec "session" per partition,
@@ -381,6 +434,23 @@ object Multimodal {
         (m.media_id, h)
       }
     }.toDF("media_id", "dhash")
+  }
+
+  /** Audio fingerprints for the audio rows: (media_id, afp) — the audio
+    * leg of the perceptual-dedup family, same narrow-stage shape as
+    * dHashes (bytes never shuffle).
+    */
+  def audioFingerprints(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "audio").mapPartitions { rows =>
+      rows.map { m =>
+        val h =
+          if (JdkCodec.audioFormats(m.format)) JdkCodec.audioFingerprint64(m.bytes)
+          else StubCodec.audioFingerprint64(m.bytes)
+        (m.media_id, h)
+      }
+    }.toDF("media_id", "afp")
   }
 
   /** Corpus rollup over extracted features (bytes are long gone by here —

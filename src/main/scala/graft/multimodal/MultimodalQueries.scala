@@ -215,10 +215,58 @@ object MultimodalQueries {
       |) AS t(item_a, item_b, hamming)
       |ORDER BY item_a, item_b""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q84 — perceptual AUDIO dedup (energy-delta fingerprint): the audio
+  // leg of the q83 family. 65 contiguous frames, bit i = strict energy
+  // rise from frame i to i+1 (Haitsma & Kalker's sign-of-band-energy-
+  // difference shape, full-band). Closed forms (derived, not captured):
+  //   - audio_square (±0.5 alternating): every frame's mean energy is
+  //     exactly 0.25 → no rise → hash 0
+  //   - audio_dc (constant 0.25): energy 0.0625 everywhere → 0
+  //   - audio_ramp (s_i = 40i): monotone samples → strictly rising frame
+  //     energies → all 64 bits → -1
+  //   - audio_ramp_flip (first two 12-sample frames swapped): exactly
+  //     bit 0 reversed → Hamming 1 from audio_ramp
+  // Expected pairs at bar 8: (dc, square) 0 — different WAVEFORMS, same
+  // ENVELOPE, which is what an envelope fingerprint collapses — and
+  // (ramp, ramp_flip) 1.
+  val q84AudioFingerprint: Q = (s, _) => {
+    import s.implicits._
+    val media = s.createDataset(Seq(
+      Multimodal.MediaRow(1L, "audio", resource("audio_square_800.wav"),
+        0, 0, 8000, 800, 0, "wav"),
+      Multimodal.MediaRow(2L, "audio", resource("audio_dc_800.wav"),
+        0, 0, 8000, 800, 0, "wav"),
+      Multimodal.MediaRow(3L, "audio", resource("audio_ramp_800.wav"),
+        0, 0, 8000, 800, 0, "wav"),
+      Multimodal.MediaRow(4L, "audio", resource("audio_ramp_flip_800.wav"),
+        0, 0, 8000, 800, 0, "wav"))).repartition(2)
+    val names = Seq(
+      (1L, "audio_square"), (2L, "audio_dc"), (3L, "audio_ramp"),
+      (4L, "audio_ramp_flip")).toDF("media_id", "item")
+    val fps = Multimodal.audioFingerprints(media)
+      .join(broadcast(names), "media_id")
+    fps.select(col("item").as("item_a"), col("afp").as("ha"))
+      .join(fps.select(col("item").as("item_b"), col("afp").as("hb")),
+        col("item_a") < col("item_b"))
+      .select(col("item_a"), col("item_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= DHashHammingBar)
+      .orderBy("item_a", "item_b")
+  }
+  private val q84Sql: String =
+    """SELECT item_a, item_b, CAST(hamming AS BIGINT) AS hamming FROM (VALUES
+      |  ('audio_dc',   'audio_square',    0),
+      |  ('audio_ramp', 'audio_ramp_flip', 1)
+      |) AS t(item_a, item_b, hamming)
+      |ORDER BY item_a, item_b""".stripMargin
+
   val queries: Map[String, Q] =
     Map("q75_multimodal_decode" -> q75MultimodalDecode,
-      "q83_image_dhash" -> q83ImageDhash)
+      "q83_image_dhash" -> q83ImageDhash,
+      "q84_audio_fingerprint" -> q84AudioFingerprint)
   val oracles: Map[String, String] =
     Map("q75_multimodal_decode" -> q75Sql,
-      "q83_image_dhash" -> q83Sql)
+      "q83_image_dhash" -> q83Sql,
+      "q84_audio_fingerprint" -> q84Sql)
 }

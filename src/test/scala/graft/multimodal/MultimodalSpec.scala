@@ -210,6 +210,37 @@ class MultimodalSpec extends SparkSpec {
     assert(hs(2L) === StubCodec.dHash64(b))
   }
 
+  test("audio fingerprint: closed forms, length invariance, single-bit flips") {
+    // constant envelope -> 0, at two different waveforms
+    val square = wavBytes(
+      Array.tabulate(800)(i => if (i % 2 == 0) 16384.toShort else (-16384).toShort), 8000f)
+    val dc = wavBytes(Array.fill(800)(8192.toShort), 8000f)
+    assert(JdkCodec.audioFingerprint64(square) === 0L)
+    assert(JdkCodec.audioFingerprint64(dc) === 0L)
+    // monotone envelope -> all-ones, at ANY sample count (65-frame grid)
+    val ramp800 = JdkCodec.audioFingerprint64(
+      wavBytes(Array.tabulate(800)(i => (40 * i).toShort), 8000f))
+    val ramp1300 = JdkCodec.audioFingerprint64(
+      wavBytes(Array.tabulate(1300)(i => (25 * i).toShort), 8000f))
+    assert(ramp800 === -1L)
+    assert(ramp1300 === -1L)
+    // swapping the first two frames flips exactly bit 0 (MSB)
+    val flipped = Array.tabulate(800)(i => (40 * i).toShort)
+    for (i <- 0 until 12) { val t = flipped(i); flipped(i) = flipped(12 + i); flipped(12 + i) = t }
+    val flipFp = JdkCodec.audioFingerprint64(wavBytes(flipped, 8000f))
+    assert((flipFp ^ ramp800) === (1L << 63))
+    // stub path: deterministic, format-gated through the dataset op
+    val b = Array[Byte](9, 9, 9)
+    val rows = Seq(
+      MediaRow(1L, "audio", wavBytes(Array.fill(100)(8192.toShort), 8000f),
+        0, 0, 8000, 100, 0, "wav"),
+      MediaRow(2L, "audio", b, 0, 0, 8000, 100, 0, "ogg")).toDS()
+    val fps = audioFingerprints(rows).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) === 0L)
+    assert(fps(2L) === StubCodec.audioFingerprint64(b))
+  }
+
   test("undecodable image bytes fail loudly, never silently zero") {
     val rows = Seq(MediaRow(99L, "image", Array[Byte](1, 2, 3),
       8, 8, 0, 0, 0, "png")).toDS()
