@@ -23,7 +23,7 @@ FAMILIES = {
     "dedup_hash": ["q35", "q36", "q42", "q43", "q44", "q47", "q48", "q55",
                    "q63", "q77", "q78", "q81"],
     "vectors": ["q40", "q41", "q49", "q51", "q69", "q73", "q74", "q76"],
-    "multimodal": ["q75"],
+    "multimodal": ["q75", "q83", "q84"],
     "curation": ["q56", "q57", "q58", "q59", "q61", "q62", "q64", "q65",
                  "q66", "q72", "q79", "q80", "q82"],
     "domain": ["q45", "q53", "q54"],
