@@ -19,6 +19,7 @@ object SparkEntry {
     (ops.EventQueries.queries, ops.EventQueries.oracles),
     (ops.AnalyticsQueries.queries, ops.AnalyticsQueries.oracles),
     (text.TextQueries.queries, text.TextQueries.oracles),
+    (text.HeavyHitters.queries, text.HeavyHitters.oracles),
     (similarity.SimilarityQueries.queries, similarity.SimilarityQueries.oracles),
     (similarity.DedupClusters.queries, similarity.DedupClusters.oracles),
     (similarity.Embeddings.queries, similarity.Embeddings.oracles),
