@@ -46,6 +46,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[L2Distance].getName, "l2_sq"),
       exprs => L2Distance(exprs(0), exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_agg"),
+      exprs => exprs match {
+        case Seq(child) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(child)
+        case Seq(child, items) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(child, items)
+        case Seq(child, items, bits) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(child, items, bits)
+        case other => throw new IllegalArgumentException(
+          s"bloom_agg(xxhash64(key) [, estItems [, numBits]]), got ${other.size} args")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_contains"),
+      exprs =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("hash64"),
       new ExpressionInfo(classOf[Hash64].getName, "hash64"),
       exprs => Hash64(exprs.head)))

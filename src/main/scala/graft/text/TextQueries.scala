@@ -223,11 +223,14 @@ object TextQueries {
   // rows, and the distinct collapses multi-shingle hits.
   val DecontaminationNgram = 8
   val TrainFraction = 0.8
-  val q58Decontamination: Q = (s, d) => {
+
+  /** Shared by q58/q86: (doc_id, distinct 8-gram shingles, is_train). */
+  private[text] def decontaminationDocs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     val n = DecontaminationNgram
     val sh = transform(sequence(lit(1), size(toks) - (n - 1)),
       i => array_join(slice(toks, i, lit(n)), " "))
-    val docs = Tables.documents(s, d)
+    Tables.documents(s, d)
       .select(col("doc_id"),
         // docs under n tokens keep an EMPTY shingle set (inside the when:
         // sequence(1, negative) would run descending) so short eval docs
@@ -237,11 +240,65 @@ object TextQueries {
         when(size(toks) >= n, array_distinct(sh))
           .otherwise(array().cast("array<string>")).as("shingles"),
         (graft.hashBucket01(col("doc_id")) < TrainFraction).as("is_train"))
+  }
+
+  val q58Decontamination: Q = (s, d) => {
+    val docs = decontaminationDocs(s, d)
     val trainShingles = docs.filter(col("is_train"))
       .select(explode(col("shingles")).as("shingle")).distinct()
     val evalPostings = docs.filter(!col("is_train"))
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val contaminated = evalPostings
+      .join(trainShingles, Seq("shingle"), "left_semi")
+      .select("doc_id").distinct()
+    docs.filter(!col("is_train"))
+      .select(col("doc_id"))
+      .join(contaminated.withColumn("contaminated", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------------
+  // q86 — bloom-prefiltered decontamination: q58's EXACT output through the
+  // scale shape for an asymmetric contamination check. q58 shuffles every
+  // eval (doc_id, shingle) posting into the semi join; at 100 TB of training
+  // candidates checked against a fixed eval/benchmark suite the probe side's
+  // postings dwarf the reference side's. The bloom path builds a FIXED-SIZE
+  // summary of the reference shingle set with Catalyst's own
+  // BloomFilterAggregate (partial sketches OR-merged map-side — one binary
+  // reaches the driver, bounded by numBits/8 regardless of data), embeds it
+  // as a literal, and drops non-matching postings INSIDE the probe-side scan
+  // stage — before the exchange — so only bloom survivors (true hits +
+  // numBits-tunable false positives) ever shuffle. The exact semi join then
+  // settles false positives, keeping the output identical to q58's: the
+  // oracle is literally q58's SQL. Same two-sided contract as Spark's
+  // injected runtime bloom filters; materialized here as a library operator
+  // because the builder controls sizing and reuse across queries.
+  //
+  // Sizing: 2^20 bits (128 KiB) / 2^17 expected items ⇒ ~5 hash probes.
+  // The sf corpora carry ~10^5-10^6 distinct train shingles, so the filter
+  // runs saturated there (every probe passes, the semi join does q58's
+  // work); at the operator's actual target — small reference sets vs huge
+  // probe corpora — occupancy is low and the scan-side drop rate is the
+  // win. Correctness never depends on occupancy (oracle-gated).
+  val BloomBits = 1L << 20
+  val BloomItems = 1L << 17
+  val q86BloomDecontamination: Q = (s, d) => {
+    val docs = decontaminationDocs(s, d)
+    val trainShingles = docs.filter(col("is_train"))
+      .select(explode(col("shingles")).as("shingle")).distinct()
+    val bf = trainShingles
+      .agg(graft.functions.BloomFunctions
+        .bloomAgg(s, xxhash64(col("shingle")), BloomItems, BloomBits).as("bf"))
+      .head.getAs[Array[Byte]]("bf") // bounded: numBits/8 bytes, data-independent
+    val evalPostings = docs.filter(!col("is_train"))
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val prefiltered =
+      if (bf == null) evalPostings.filter(lit(false)) // empty train side
+      else evalPostings.filter(graft.functions.BloomFunctions
+        .bloomContains(s, lit(bf), xxhash64(col("shingle"))))
+    val contaminated = prefiltered
       .join(trainShingles, Seq("shingle"), "left_semi")
       .select("doc_id").distinct()
     docs.filter(!col("is_train"))
@@ -1155,6 +1212,7 @@ object TextQueries {
     "q62_source_mixing" -> q62SourceMixing,
     "q57_sequence_packing" -> q57SequencePacking,
     "q58_decontamination" -> q58Decontamination,
+    "q86_bloom_decontamination" -> q86BloomDecontamination,
     "q78_dup_spans" -> q78DupSpans,
     "q79_dsir_weights" -> q79DsirWeights,
     "q32_token_count" -> q32TokenCount,
@@ -1177,6 +1235,8 @@ object TextQueries {
     "q62_source_mixing" -> q62Sql,
     "q57_sequence_packing" -> q57Sql,
     "q58_decontamination" -> q58Sql,
+    // identical output contract: the bloom path is an internal prefilter
+    "q86_bloom_decontamination" -> q58Sql,
     "q78_dup_spans" -> q78Sql,
     "q79_dsir_weights" -> q79Sql,
     "q32_token_count" -> q32Sql,
