@@ -23,6 +23,7 @@ object SparkEntry {
     (similarity.SimilarityQueries.queries, similarity.SimilarityQueries.oracles),
     (similarity.DedupClusters.queries, similarity.DedupClusters.oracles),
     (similarity.Embeddings.queries, similarity.Embeddings.oracles),
+    (similarity.QuantizedAnn.queries, similarity.QuantizedAnn.oracles),
     (multimodal.MultimodalQueries.queries, multimodal.MultimodalQueries.oracles))
 
   /** Flagship: the reference's richest single query — `get_tick_features`

@@ -37,7 +37,7 @@ def cells_equal(a, b):
     return a == b
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     # bare connection, NO UDFs — the grading harness runs oracle SQL on a
     # plain DuckDB connection, so the local loop must too (the old xxh64
     # UDF masked exactly the q42/q43/q44/q48 failures it was meant to fix)
@@ -48,6 +48,8 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):
+        if only and only not in name:
+            continue
         sql = oracle[name]
         try:
             exp = norm(con.execute(sql).df())
@@ -92,4 +94,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
