@@ -18,6 +18,7 @@ object SparkEntry {
     (ops.WindowQueries.queries, ops.WindowQueries.oracles),
     (ops.EventQueries.queries, ops.EventQueries.oracles),
     (ops.AnalyticsQueries.queries, ops.AnalyticsQueries.oracles),
+    (ops.OrderStatistics.queries, ops.OrderStatistics.oracles),
     (text.TextQueries.queries, text.TextQueries.oracles),
     (text.HeavyHitters.queries, text.HeavyHitters.oracles),
     (similarity.SimilarityQueries.queries, similarity.SimilarityQueries.oracles),

@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** q88 histogram-selection quantiles vs Scala brute force on adversarial
+  * small corpora: heavy duplicates (many values land in one bucket),
+  * negatives, narrow ranges, n down to 1, and the all-equal short-circuit.
+  * The rank convention (floor(q*(n-1))+1, 1-based) is asserted against a
+  * direct sorted-array index, independent of any SQL engine.
+  */
+class OrderStatisticsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def forAll[A](gen: Gen[A], n: Int)(f: A => Unit): Unit = {
+    var seed = Seed(8801L)
+    var done = 0
+    var attempts = 0
+    while (done < n && attempts < n * 20) {
+      gen.apply(Gen.Parameters.default.withSize(40), seed).foreach { a =>
+        f(a); done += 1
+      }
+      seed = seed.next
+      attempts += 1
+    }
+    assert(done === n, s"generator produced only $done/$n samples")
+  }
+
+  // mixtures that stress bucket boundaries: repeated spikes + uniform tail
+  private val valuesGen: Gen[List[Double]] = for {
+    n <- Gen.choose(1, 400)
+    spike <- Gen.choose(-5.0, 5.0)
+    spikeShare <- Gen.choose(0, 9)
+    vs <- Gen.listOfN(n, Gen.frequency(
+      (spikeShare, Gen.const(spike)),
+      (10 - spikeShare + 1, Gen.choose(-100.0, 100.0))))
+  } yield vs
+
+  private def write(vs: List[Double]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-os").toString
+    vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("event_id", "value")
+      .withColumn("ts", lit("2026-01-01 00:00:00").cast("timestamp"))
+      .repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def brute(vs: List[Double]): List[(Double, Double)] = {
+    val sorted = vs.sorted.toArray
+    OrderStatistics.Quantiles.toList.map { q =>
+      (q, sorted(math.floor(q * (vs.size - 1)).toInt))
+    }
+  }
+
+  test("q88 equals sorted-array selection on adversarial corpora") {
+    forAll(valuesGen, 15) { vs =>
+      val dir = write(vs)
+      graft.Tables.invalidate(dir)
+      val got = OrderStatistics.q88ExactQuantiles(spark, dir)
+        .collect().map(r => (r.getDouble(0), r.getDouble(1))).toList
+      assert(got === brute(vs), s"n=${vs.size}")
+    }
+  }
+
+  test("all-equal corpus short-circuits to the constant") {
+    val dir = write(List.fill(50)(7.25))
+    graft.Tables.invalidate(dir)
+    val got = OrderStatistics.q88ExactQuantiles(spark, dir)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toList
+    assert(got === OrderStatistics.Quantiles.map(q => (q, 7.25)).toList)
+  }
+
+  test("sf0.001 quantiles are ordered and inside the value range") {
+    val d = "/root/testdata/sf0.001"
+    val got = OrderStatistics.q88ExactQuantiles(spark, d)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toList
+    assert(got.map(_._1) === OrderStatistics.Quantiles.toList)
+    assert(got.map(_._2) === got.map(_._2).sorted, "quantiles must be monotone")
+  }
+}
