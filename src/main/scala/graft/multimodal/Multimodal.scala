@@ -416,6 +416,51 @@ object Multimodal {
     }
   }
 
+  /** Per-frame scalar features for the sampled frames: (media_id,
+    * frame_idx, mean_intensity in [0,255]). The byte payload collapses to
+    * one double INSIDE this narrow stage — downstream temporal analytics
+    * (scene cuts, motion energy) shuffle 20-byte rows, never frames. No
+    * higher-order Catalyst function iterates BinaryType, so the byte loop
+    * is the mapPartitions carve-out, same as the decoders above.
+    */
+  def frameFeatures(frames: Dataset[Frame]): DataFrame = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.mapPartitions { rows =>
+      rows.map { f =>
+        var s = 0L
+        var i = 0
+        while (i < f.frame_bytes.length) {
+          s += (f.frame_bytes(i) & 0xff)
+          i += 1
+        }
+        (f.media_id, f.frame_idx,
+          if (f.frame_bytes.isEmpty) 0.0 else s.toDouble / f.frame_bytes.length)
+      }
+    }.toDF("media_id", "frame_idx", "mean_intensity")
+  }
+
+  /** Scene-cut detection over frame features: a cut at frame i when the
+    * intensity jump from the PREVIOUS SAMPLED frame exceeds `threshold`.
+    * Pure relational temporal pass — one keyed window (partition-local
+    * sort per media, no global sort), the same W1/W5 shape as the tick
+    * analytics; the first sampled frame of each video has no predecessor
+    * and is never a cut. Output: (media_id, frame_idx, delta, is_cut).
+    *
+    * Reference scope: the recording UI's asset panel marks visual
+    * discontinuities in capture playback (src/recording_ui/services/
+    * assets.py thumbnails timeline); this is that marker as a corpus-scale
+    * operator over the frame-sample path.
+    */
+  def sceneCuts(frameFeatures: DataFrame, threshold: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_idx")
+    frameFeatures
+      .withColumn("delta", col("mean_intensity") - lag(col("mean_intensity"), 1).over(w))
+      .withColumn("is_cut", coalesce(abs(col("delta")) > lit(threshold), lit(false)))
+      .select("media_id", "frame_idx", "delta", "is_cut")
+  }
+
   /** Perceptual hashes for the image rows: (media_id, dhash). At corpus
     * scale the BYTES stay in this narrow stage — only 16-byte hash rows
     * ever shuffle, and the pair generation downstream is the q63/q77

@@ -250,4 +250,41 @@ class MultimodalSpec extends SparkSpec {
     assert(e.getMessage.contains("undecodable") ||
       Option(e.getCause).exists(_.getMessage.contains("undecodable")))
   }
+
+  test("frame features: one scalar per sampled frame, exact byte mean") {
+    val frames = sampleFrames(media, stride = 3)
+    val feats = frameFeatures(frames).collect()
+      .map(r => (r.getInt(1), r.getDouble(2))).toMap
+    val want = frames.collect().map { f =>
+      f.frame_idx -> f.frame_bytes.map(_ & 0xff).map(_.toLong).sum.toDouble /
+        f.frame_bytes.length
+    }.toMap
+    assert(feats === want)
+  }
+
+  test("scene cuts: keyed lag semantics, first frame never a cut") {
+    // synthetic features, no codec involved: two videos, known deltas
+    val feats = Seq(
+      (1L, 0, 100.0), (1L, 10, 101.0), (1L, 20, 180.0), (1L, 30, 178.0),
+      (2L, 0, 50.0), (2L, 5, 49.5))
+      .toDF("media_id", "frame_idx", "mean_intensity")
+    val got = sceneCuts(feats, threshold = 30.0).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)),
+        (Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(3)))).toMap
+    assert(got((1L, 0)) === ((None, false)))          // no predecessor
+    assert(got((1L, 10)) === ((Some(1.0), false)))    // below threshold
+    assert(got((1L, 20)) === ((Some(79.0), true)))    // the cut
+    assert(got((1L, 30)) === ((Some(-2.0), false)))
+    assert(got((2L, 0)) === ((None, false)))          // per-media window
+    assert(got((2L, 5)) === ((Some(-0.5), false)))
+  }
+
+  test("scene cuts end-to-end over the sampled-frame path are deterministic") {
+    val cuts1 = sceneCuts(frameFeatures(sampleFrames(media, 2)), 10.0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(3))).toSet
+    val cuts2 = sceneCuts(frameFeatures(sampleFrames(media, 2)), 10.0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(3))).toSet
+    assert(cuts1 === cuts2)
+    assert(cuts1.map(_._2) === Set(0, 2, 4, 6, 8)) // stride-2 over 10 frames
+  }
 }
