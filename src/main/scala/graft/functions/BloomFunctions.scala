@@ -31,23 +31,32 @@ import org.apache.spark.sql.functions.call_function
   */
 object BloomFunctions {
 
+  /** Arity-dispatching builders — the ONE definition shared by [[register]]
+    * (temp-function path) and GraftExtensions.injectFunction (session
+    * extension path), so the two registration routes cannot drift.
+    */
+  val aggBuilder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+      org.apache.spark.sql.catalyst.expressions.Expression = {
+    case Seq(child) => new BloomFilterAggregate(child)
+    case Seq(child, items) => new BloomFilterAggregate(child, items)
+    case Seq(child, items, bits) => new BloomFilterAggregate(child, items, bits)
+    case other => throw new IllegalArgumentException(
+      s"bloom_agg(xxhash64(key) [, estItems [, numBits]]), got ${other.size} args")
+  }
+  val containsBuilder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+      org.apache.spark.sql.catalyst.expressions.Expression = {
+    case Seq(filter, value) => BloomFilterMightContain(filter, value)
+    case other => throw new IllegalArgumentException(
+      s"bloom_contains(filter, xxhash64(key)), got ${other.size} args")
+  }
+
   /** Idempotent (see MinHashSignature.register). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(FunctionIdentifier("bloom_agg")))
-      reg.createOrReplaceTempFunction("bloom_agg", {
-        case Seq(child) => new BloomFilterAggregate(child)
-        case Seq(child, items) => new BloomFilterAggregate(child, items)
-        case Seq(child, items, bits) => new BloomFilterAggregate(child, items, bits)
-        case other => throw new IllegalArgumentException(
-          s"bloom_agg(xxhash64(key) [, estItems [, numBits]]), got ${other.size} args")
-      }, "built-in")
+      reg.createOrReplaceTempFunction("bloom_agg", aggBuilder, "built-in")
     if (!reg.functionExists(FunctionIdentifier("bloom_contains")))
-      reg.createOrReplaceTempFunction("bloom_contains", {
-        case Seq(filter, value) => BloomFilterMightContain(filter, value)
-        case other => throw new IllegalArgumentException(
-          s"bloom_contains(filter, xxhash64(key)), got ${other.size} args")
-      }, "built-in")
+      reg.createOrReplaceTempFunction("bloom_contains", containsBuilder, "built-in")
   }
 
   /** Aggregate a column of XXH64 longs into one serialized bloom filter. */

@@ -45,28 +45,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("l2_sq"),
       new ExpressionInfo(classOf[L2Distance].getName, "l2_sq"),
       exprs => L2Distance(exprs(0), exprs(1))))
+    // bloom pair: builders shared with BloomFunctions.register so the two
+    // registration paths cannot drift (r12 ADVICE)
     ext.injectFunction((
       FunctionIdentifier("bloom_agg"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
         "bloom_agg"),
-      exprs => exprs match {
-        case Seq(child) =>
-          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(child)
-        case Seq(child, items) =>
-          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(child, items)
-        case Seq(child, items, bits) =>
-          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(child, items, bits)
-        case other => throw new IllegalArgumentException(
-          s"bloom_agg(xxhash64(key) [, estItems [, numBits]]), got ${other.size} args")
-      }))
+      BloomFunctions.aggBuilder))
     ext.injectFunction((
       FunctionIdentifier("bloom_contains"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
         "bloom_contains"),
-      exprs =>
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))))
+      BloomFunctions.containsBuilder))
     ext.injectFunction((
       FunctionIdentifier("hash64"),
       new ExpressionInfo(classOf[Hash64].getName, "hash64"),

@@ -99,9 +99,10 @@ object HeavyHitters {
 
   // ---------------------------------------------------------------------------
   // q85 — heavy-hitter bigram vocabulary: every bigram with exact corpus
-  // count > total/512, with its exact count and corpus share. Pass 1
-  // (scan 1): per-partition MG summaries + per-partition totals, a <= 513
-  // rows/partition relation, localCheckpoint'd so both consumers read the
+  // count > total/MgCounters (= total/1024), with its exact count and corpus
+  // share. Pass 1 (scan 1): per-partition MG summaries + per-partition
+  // totals, a <= MgCounters+1 rows/partition relation, localCheckpoint'd so
+  // both consumers read the
   // materialized summary instead of re-scanning the corpus. Pass 2
   // (scan 2): broadcast-semi-join the candidate set into the gram stream,
   // exact-count survivors only, threshold on the exact total.

@@ -66,6 +66,39 @@ class OrderStatisticsSpec extends SparkSpec {
     }
   }
 
+  test("recursion path (recurseBound=1) matches on adversarial corpora") {
+    // every candidate bucket with >1 row triggers pass 2b; output identical
+    forAll(valuesGen, 10) { vs =>
+      val dir = write(vs)
+      graft.Tables.invalidate(dir)
+      val got = OrderStatistics.exactQuantiles(spark, dir, recurseBound = 1L)
+        .collect().map(r => (r.getDouble(0), r.getDouble(1))).toList
+      assert(got === brute(vs), s"n=${vs.size}")
+    }
+  }
+
+  test("pathological bucket — one value repeated ~N times — resolved by 2b") {
+    // 5k copies of one value + a sparse tail: the median/p90 ranks land in
+    // the repeated-value bucket; with a tiny bound pass 2b fires and the
+    // collapsed subbucket (min == max) answers those ranks with NO pass-3
+    // sort of the hot bucket.
+    val vs = List.fill(5000)(42.0) ++ (1 to 50).map(i => 100.0 + i).toList
+    val dir = write(vs)
+    graft.Tables.invalidate(dir)
+    val got = OrderStatistics.exactQuantiles(spark, dir, recurseBound = 100L)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toList
+    assert(got === brute(vs))
+    assert(got.count(_._2 == 42.0) >= 2, "ranks should hit the repeated value")
+  }
+
+  test("empty corpus returns an empty (quantile, value) frame") {
+    val dir = write(Nil)
+    graft.Tables.invalidate(dir)
+    val got = OrderStatistics.q88ExactQuantiles(spark, dir)
+    assert(got.columns.toSeq === Seq("quantile", "value"))
+    assert(got.count() === 0)
+  }
+
   test("all-equal corpus short-circuits to the constant") {
     val dir = write(List.fill(50)(7.25))
     graft.Tables.invalidate(dir)

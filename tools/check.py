@@ -88,8 +88,8 @@ def main(sf_dir, out_dir, only=None):
         else:
             print(f"PASS {name} ({len(exp)} rows x {len(exp.columns)} cols)")
             n_pass += 1
-    missing = set(json.load(open(f"{out_dir}/oracle_sql.json")))
-    print(f"== {n_pass} pass / {n_fail} fail / {len(missing)} total ==")
+    selected = [n for n in oracle if not only or only in n]
+    print(f"== {n_pass} pass / {n_fail} fail / {len(selected)} total ==")
     return 1 if n_fail else 0
 
 
