@@ -56,6 +56,19 @@ object Bench {
     "q48_winnowing_fingerprints", "q63_simhash_pairs",
     "q77_simhash_pairs_blocked")
 
+  /** Per-query seconds on the STDOUT contract line are limited to this
+    * headline subset (one per operator family): the driver archives only a
+    * 2000-char stdout tail, and the full 86-entry map (~3 KB) pushed the
+    * line's opening brace out of the window two rounds running
+    * ("parsed": null in BENCH_r11/r12). The full board lives in
+    * BENCH_detail.json, which the driver commits alongside.
+    */
+  val Headline: Seq[String] = Seq(
+    "q01_group_agg", "q03_join_agg", "q13_percentiles", "q21_window_lag",
+    "q35_exact_dedup", "q40_cosine_topk", "q43_minhash_lsh_pairs",
+    "q55_dedup_clusters", "q58_decontamination", "q69_kmeans",
+    "q85_heavy_hitters", "q88_exact_quantiles")
+
   def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
   private def time(f: => Unit): Double = {
@@ -331,17 +344,37 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    spark.range(1000000).selectExpr("sum(id)").collect()
-    Tables.all.foreach { t =>
-      try {
-        if (t == "events") Tables.events(spark, sfDir).count()
-        else Tables.load(spark, sfDir, t).count()
-      } catch { case _: Throwable => () }
+
+    // One builder for every session the bench creates (the sweep restarts
+    // the session between slices — below). Status-store retention is
+    // trimmed hard: even with the UI off, AppStatusListener +
+    // SQLAppStatusListener retain per-job/stage/task/execution state at
+    // defaults of 1000 jobs / 1000 stages / 100k tasks / 1000 SQL
+    // executions — an 86-query × 4-run sweep accumulates tens of MB of
+    // listener state whose GC pressure the r12 A/B measured as 5-10× leg
+    // inflation. The bench measures queries, not the status store.
+    def freshSession(tally: CpuTally): SparkSession = {
+      val s = GraftSession.builder(s"local[$cpus]", cpus.toInt)
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.retainedJobs", "50")
+        .config("spark.ui.retainedStages", "100")
+        .config("spark.ui.retainedTasks", "1000")
+        .config("spark.ui.retainedDeadExecutors", "5")
+        .config("spark.sql.ui.retainedExecutions", "10")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s.range(1000000).selectExpr("sum(id)").collect()
+      Tables.all.foreach { t =>
+        try {
+          if (t == "events") Tables.events(s, sfDir).count()
+          else Tables.load(s, sfDir, t).count()
+        } catch { case _: Throwable => () }
+      }
+      s.sparkContext.addSparkListener(tally)
+      s
     }
+    val tally = new CpuTally
+    var spark = freshSession(tally)
 
     val canCpuBefore = canaryCpu(spark)
     val canScanBefore = canaryScan(spark, sfDir)
@@ -351,11 +384,22 @@ object Bench {
     // the full 73-query board at every probe scale would be hours, not data)
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val tally = new CpuTally
-    spark.sparkContext.addSparkListener(tally)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // The sweep runs in SESSION SLICES (default 30 queries, env
+    // SPARK_GRAFT_SLICE; 0 disables): the r12 judge re-ran q43 fresh at
+    // 0.76-1.03 s where the in-suite sweep read 2.19 s — accumulated
+    // SparkContext state (status store, block manager, listener bus,
+    // state-store maintenance) inflates late-alphabet queries. Stopping
+    // and recreating the session every slice drops all context-held state
+    // while keeping the JVM's JIT warm, bounding any query's contamination
+    // to its own slice. Cost: ~2 s/restart, twice per full sweep.
+    val slice = sys.env.getOrElse("SPARK_GRAFT_SLICE", "30").toInt
+    val picked = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) => runQuery(spark, sfDir, name, fn, Some(tally)) }
+    val results = picked.grouped(if (slice > 0) slice else Int.MaxValue)
+      .toSeq.zipWithIndex.flatMap { case (grp, i) =>
+        if (i > 0) { spark.stop(); spark = freshSession(tally) }
+        grp.map { case (name, fn) => runQuery(spark, sfDir, name, fn, Some(tally)) }
+      }
 
     // post-sweep canary: detects machine state that degraded DURING the run
     val canCpuAfter = canaryCpu(spark)
@@ -373,7 +417,6 @@ object Bench {
     val hashTotal = ok.filter(r => HashFamily(r.name)).map(_.sec).sum
     val idiomaticTotal = total - hashTotal
 
-    val qs = results.map(r => jstr(r.name) + ":" + r.sec).mkString("{", ",", "}")
     val detail = results.map { r =>
       jstr(r.name) + ":{\"sec\":" + r.sec + ",\"rows\":" + r.rows +
         ",\"err\":" + r.err.map(jstr).getOrElse("null") +
@@ -411,6 +454,28 @@ object Bench {
     val streaming = block(streamingBench(spark))
     val mc = block(mcBench(spark))
 
+    // Fresh-session sentinel RECHECK, recorded in the SAME artifact (r12
+    // verdict #3's acceptance bar: in-suite q43/q85 within ~1.3× of a
+    // fresh run, provable without a separate judge-run BenchOne). A fresh
+    // session after a full context stop — status store, block manager,
+    // listener bus, state stores all dropped, JIT kept warm — is the
+    // in-process proxy for a fresh JVM. Compare `recheck.<name>` against
+    // `queries.<name>` / detail.
+    val sentinelNames = Seq("q43_minhash_lsh_pairs", "q85_heavy_hitters")
+      .filter(n => picked.exists(_._1 == n))
+    val recheck = block {
+      if (sentinelNames.isEmpty || sys.env.get("SPARK_GRAFT_RECHECK").contains("0"))
+        """{"skipped":true}"""
+      else {
+        spark.stop(); spark = freshSession(tally)
+        val rs = sentinelNames.map(n =>
+          n -> runQuery(spark, sfDir, n, SparkEntry.queries(n), Some(tally)))
+        val can = canaryCpu(spark)
+        rs.map { case (n, r) => jstr(n) + ":" + r3(r.sec) }
+          .mkString("{", ",", s""","canary_cpu_sec":${r3(can)}}""")
+      }
+    }
+
     // The canary goes out THREE ways on purpose (round-9 verdict #7: the
     // archived artifact kept only the tail of the main line, and the huge
     // `detail` block swallowed the one field that tells machine degradation
@@ -431,18 +496,24 @@ object Bench {
       val w = new java.io.PrintWriter(detailOut, "UTF-8")
       try w.println(
         s"""{"sf":${jstr(sfDir)},"errors":${results.count(_.err.nonEmpty)},""" +
-        s""""canary":$canary,"subtotals":$subtotals,"detail":$detail}""")
+        s""""canary":$canary,"subtotals":$subtotals,"recheck":$recheck,""" +
+        s""""detail":$detail}""")
       finally w.close()
     } catch { case _: java.io.IOException => () }
-    // The main line stays SLIM on purpose (round-11 verdict #1: embedding
-    // the full 73-query `detail` block pushed the line past the driver
-    // archive's tail window and `"parsed": null`-ed the round's artifact).
-    // `detail` lives only in BENCH_detail.json; the stdout contract line
-    // carries the summary fields the driver parses.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-      s""""errors":${results.count(_.err.nonEmpty)},""" +
+    // The main line stays SLIM on purpose, and now FITS the tail window
+    // whole: r11 slimmed `detail` out but kept the full per-query map,
+    // which at 86 queries still ran ~3 KB and truncated the line's start
+    // (r12 verdict #2, "parsed": null again). The stdout map carries only
+    // the Headline subset, ms-rounded — unless a narrowed sweep
+    // (SPARK_GRAFT_QUERIES) is already small enough to ship in full. The
+    // complete board is in BENCH_detail.json either way.
+    val slim = (if (results.size <= 20) results
+                else results.filter(r => Headline.contains(r.name)))
+      .map(r => jstr(r.name) + ":" + r3(r.sec)).mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slim,"sf":"$sfDir",""" +
+      s""""queries_run":${results.size},"errors":${results.count(_.err.nonEmpty)},""" +
       s""""subtotals":$subtotals,"legs_canary_cpu_sec":${r3(legCanaryCpu)},""" +
-      s""""streaming":$streaming,"mc":$mc,"canary":$canary}""")
+      s""""recheck":$recheck,"streaming":$streaming,"mc":$mc,"canary":$canary}""")
     spark.stop()
   }
 }

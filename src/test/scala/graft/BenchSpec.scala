@@ -22,6 +22,16 @@ class BenchSpec extends AnyFunSuite {
       "every hash-family name must be a registered query")
   }
 
+  test("headline subset is registered and small enough for the tail window") {
+    assert(Bench.Headline.toSet.subsetOf(SparkEntry.queries.keySet),
+      "every headline name must be a registered query")
+    // the driver archives a 2000-char stdout tail; the whole contract line
+    // must fit. Worst case ~34 chars/entry ("name":12345.678) on top of
+    // ~900 chars of fixed fields — cap the map's worst-case contribution
+    val worst = Bench.Headline.map(_.length + 14).sum
+    assert(worst < 700, s"headline map could reach $worst chars; slim it")
+  }
+
   test("a throwing query records its error and never a wall-time") {
     val spark = SparkSpec.session
     val r = Bench.runQuery(spark, "/nonexistent", "boom",
