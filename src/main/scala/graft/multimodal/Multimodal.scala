@@ -9,8 +9,10 @@ import org.apache.spark.sql.types._
   * feature-extract / resize / frame-sample operators over them.
   *
   * Decode is REAL for every format the JDK ships a codec for — PNG/JPEG/
-  * BMP/GIF via `javax.imageio`, WAV/AU/AIFF via `javax.sound.sampled` —
-  * see `JdkCodec`. Formats the JDK cannot decode (video, and synthetic
+  * BMP/GIF via `javax.imageio` (including MULTI-FRAME animated GIF for the
+  * video path: `JdkCodec.gifLumaFrames` composites frames sequentially per
+  * the GIF disposal model), WAV/AU/AIFF via `javax.sound.sampled` — see
+  * `JdkCodec`. Formats the JDK cannot decode (mp4/webm video, synthetic
   * fixtures) fall back to `StubCodec`, a deterministic pure function of the
   * bytes, so the operator plumbing stays testable where a real codec would
   * need ffmpeg (the one remaining environment seam).
@@ -289,6 +291,104 @@ object Multimodal {
       }
       hash
     }
+
+    /** Video formats with a REAL multi-frame JDK decode path. Animated GIF
+      * is the one container `javax.imageio` can step through frame by
+      * frame — which makes it the honest no-native-dependency video rung:
+      * every frame operator downstream (sampling, features, scene cuts)
+      * runs on genuinely decoded pixels. Other containers (mp4, webm)
+      * still fall to StubCodec until an ffmpeg seam exists.
+      */
+    val videoFormats: Set[String] = Set("gif")
+
+    /** Sequentially decode an animated GIF, compositing frames per the GIF
+      * disposal model (ImageDescriptor offsets; a frame whose
+      * GraphicControlExtension says restoreToBackgroundColor has its rect
+      * cleared before the next frame draws), and emit every `stride`-th
+      * COMPOSITED frame as (frame_idx, width, height, Rec.601 luma plane,
+      * row-major bytes) — the payload shape `frameFeatures` consumes
+      * (its byte-mean over a luma plane IS mean intensity).
+      *
+      * GIF is a delta codec: frame i is only defined given frames 0..i-1,
+      * so the decode is one sequential pass holding a single canvas —
+      * bounded memory however long the animation — materializing ONLY the
+      * sampled frames. This runs inside the per-partition decode stage;
+      * frames shuffle nowhere.
+      */
+    def gifLumaFrames(bytes: Array[Byte], stride: Int): Seq[(Int, Int, Int, Array[Byte])] = {
+      require(stride >= 1, s"stride must be >= 1, got $stride")
+      val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+      require(readers.hasNext, "JDK has no GIF reader")
+      val reader = readers.next()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        require(n > 0, "GIF stream holds no frames")
+        def elem(root: org.w3c.dom.Node, tag: String): Option[org.w3c.dom.Element] = {
+          val nl = root.asInstanceOf[org.w3c.dom.Element].getElementsByTagName(tag)
+          if (nl.getLength > 0) Some(nl.item(0).asInstanceOf[org.w3c.dom.Element])
+          else None
+        }
+        // logical screen from stream metadata; fall back to frame 0's size
+        val (lsw, lsh) = Option(reader.getStreamMetadata)
+          .flatMap(sm => elem(sm.getAsTree("javax_imageio_gif_stream_1.0"),
+            "LogicalScreenDescriptor"))
+          .map(e => (e.getAttribute("logicalScreenWidth").toInt,
+            e.getAttribute("logicalScreenHeight").toInt))
+          .getOrElse {
+            val f0 = reader.read(0); (f0.getWidth, f0.getHeight)
+          }
+        val canvas = new java.awt.image.BufferedImage(lsw, lsh,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = canvas.createGraphics()
+        try {
+          val out = Seq.newBuilder[(Int, Int, Int, Array[Byte])]
+          var prevDisposal = "none"
+          var prevRect = (0, 0, 0, 0)
+          var i = 0
+          while (i < n) {
+            val frame = reader.read(i)
+            val md = reader.getImageMetadata(i).getAsTree("javax_imageio_gif_image_1.0")
+            val (x, y) = elem(md, "ImageDescriptor").map(e =>
+              (e.getAttribute("imageLeftPosition").toInt,
+                e.getAttribute("imageTopPosition").toInt)).getOrElse((0, 0))
+            // frame i-1's disposal applies BEFORE frame i draws
+            if (prevDisposal == "restoreToBackgroundColor") {
+              g.setColor(java.awt.Color.BLACK)
+              g.fillRect(prevRect._1, prevRect._2, prevRect._3, prevRect._4)
+            }
+            g.drawImage(frame, x, y, null)
+            if (i % stride == 0) {
+              val luma = new Array[Byte](lsw * lsh)
+              var yy = 0
+              while (yy < lsh) {
+                val row = canvas.getRGB(0, yy, lsw, 1, null, 0, lsw)
+                var xx = 0
+                while (xx < lsw) {
+                  val p = row(xx)
+                  val l = 0.299 * ((p >> 16) & 0xff) +
+                    0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)
+                  luma(yy * lsw + xx) = math.min(255L, math.round(l)).toByte
+                  xx += 1
+                }
+                yy += 1
+              }
+              out += ((i, lsw, lsh, luma))
+            }
+            prevDisposal = elem(md, "GraphicControlExtension")
+              .map(_.getAttribute("disposalMethod")).getOrElse("none")
+            prevRect = (x, y, frame.getWidth, frame.getHeight)
+            i += 1
+          }
+          out.result()
+        } finally g.dispose()
+      } finally {
+        reader.dispose()
+        iis.close()
+      }
+    }
   }
 
   /** Deterministic stand-in for formats the JDK has no codec for (video;
@@ -401,18 +501,27 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling: every `stride`-th frame index from the video's typed
-    * n_frames — emits ONLY the sampled frames, so a 100k-frame video with
-    * stride 1000 produces 100 rows, not 100k.
+  /** Frame sampling: every `stride`-th frame — emits ONLY the sampled
+    * frames, so a 100k-frame video with stride 1000 produces 100 rows, not
+    * 100k. GIF rows decode for REAL (JdkCodec.gifLumaFrames: sequential
+    * composite, luma-plane payload, dimensions and frame count from the
+    * actual stream — pixel truth, not the metadata claim); codec-less
+    * formats keep the deterministic stub payloads sized from typed
+    * metadata.
     */
   def sampleFrames(media: Dataset[MediaRow], stride: Int): Dataset[Frame] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.filter(_.kind == "video").flatMap { m =>
-      (0 until m.n_frames by stride).map { idx =>
-        Frame(m.media_id, idx, m.width, m.height,
-          StubCodec.frame(m.bytes, idx, m.width, m.height))
-      }
+      if (JdkCodec.videoFormats(m.format))
+        JdkCodec.gifLumaFrames(m.bytes, stride).map { case (idx, w, h, luma) =>
+          Frame(m.media_id, idx, w, h, luma)
+        }
+      else
+        (0 until m.n_frames by stride).map { idx =>
+          Frame(m.media_id, idx, m.width, m.height,
+            StubCodec.frame(m.bytes, idx, m.width, m.height))
+        }
     }
   }
 

@@ -261,12 +261,57 @@ object MultimodalQueries {
       |) AS t(item_a, item_b, hamming)
       |ORDER BY item_a, item_b""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q89 — REAL video decode + temporal analytics: the committed 8-frame
+  // animated GIF (FixtureGen.writeVideoCutGif — solid grays
+  // 40,44,48,52,200,204,208,100 over an identity gray palette, so every
+  // decoded pixel is exact) runs the full frame pipeline on genuinely
+  // decoded pixels: sampleFrames stride 1 → JdkCodec.gifLumaFrames
+  // (sequential composite, luma planes) → frameFeatures (byte-mean over
+  // the luma plane = mean intensity, exactly the solid gray value) →
+  // sceneCuts threshold 60 (cut iff |Δ| > 60: up-cut at frame 4,
+  // Δ = +148; down-cut at frame 7, Δ = −108; every other Δ is ±4).
+  // The oracle is the closed-form VALUES table — a regression anywhere in
+  // GIF frame stepping, compositing, luma math, sampling, or the window
+  // pass trips the hash gate. Stride-2 sampling (frames 0/2/4/6, only the
+  // frame-4 cut survives) is pinned by MultimodalSpec.
+  val q89VideoSceneCuts: Q = (s, _) => {
+    import s.implicits._
+    val media = s.createDataset(Seq(
+      Multimodal.MediaRow(1L, "video", resource("video_cut_16x12.gif"),
+        16, 12, 0, 0, 8, "gif"))).repartition(1)
+    val feats = Multimodal.frameFeatures(Multimodal.sampleFrames(media, 1))
+    Multimodal.sceneCuts(feats, threshold = 60.0)
+      .join(feats, Seq("media_id", "frame_idx"))
+      .select(col("frame_idx").cast("long").as("frame_idx"),
+        round(col("mean_intensity"), 4).as("mean_intensity"),
+        round(col("delta"), 4).as("delta"), col("is_cut"))
+      .orderBy("frame_idx")
+  }
+  private val q89Sql: String =
+    """SELECT CAST(frame_idx AS BIGINT) AS frame_idx,
+      |       CAST(mean_intensity AS DOUBLE) AS mean_intensity,
+      |       CAST(delta AS DOUBLE) AS delta, is_cut
+      |FROM (VALUES
+      |  (0,  40.0, NULL,   false),
+      |  (1,  44.0,    4.0, false),
+      |  (2,  48.0,    4.0, false),
+      |  (3,  52.0,    4.0, false),
+      |  (4, 200.0,  148.0, true),
+      |  (5, 204.0,    4.0, false),
+      |  (6, 208.0,    4.0, false),
+      |  (7, 100.0, -108.0, true)
+      |) AS t(frame_idx, mean_intensity, delta, is_cut)
+      |ORDER BY frame_idx""".stripMargin
+
   val queries: Map[String, Q] =
     Map("q75_multimodal_decode" -> q75MultimodalDecode,
       "q83_image_dhash" -> q83ImageDhash,
-      "q84_audio_fingerprint" -> q84AudioFingerprint)
+      "q84_audio_fingerprint" -> q84AudioFingerprint,
+      "q89_video_scene_cuts" -> q89VideoSceneCuts)
   val oracles: Map[String, String] =
     Map("q75_multimodal_decode" -> q75Sql,
       "q83_image_dhash" -> q83Sql,
-      "q84_audio_fingerprint" -> q84Sql)
+      "q84_audio_fingerprint" -> q84Sql,
+      "q89_video_scene_cuts" -> q89Sql)
 }

@@ -287,4 +287,90 @@ class MultimodalSpec extends SparkSpec {
     assert(cuts1 === cuts2)
     assert(cuts1.map(_._2) === Set(0, 2, 4, 6, 8)) // stride-2 over 10 frames
   }
+
+  // ---- real video decode (animated GIF) ------------------------------------
+
+  private def gifFixture: Array[Byte] = {
+    val in = getClass.getResourceAsStream("/graft/multimodal/video_cut_16x12.gif")
+    require(in != null, "missing committed GIF fixture")
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("real GIF decode: frame means are exactly the planted solid grays") {
+    val frames = JdkCodec.gifLumaFrames(gifFixture, stride = 1)
+    assert(frames.map(_._1) === FixtureGen.VideoCutGrays.indices.toSeq)
+    assert(frames.forall { case (_, w, h, luma) =>
+      w == FixtureGen.VideoCutW && h == FixtureGen.VideoCutH &&
+        luma.length == w * h
+    })
+    val means = frames.map { case (_, _, _, luma) =>
+      luma.map(_ & 0xff).sum.toDouble / luma.length
+    }
+    assert(means === FixtureGen.VideoCutGrays.map(_.toDouble))
+  }
+
+  test("real GIF stride-2: sampling happens in the decoder, cuts downstream") {
+    val media = Seq(MediaRow(1L, "video", gifFixture,
+      16, 12, 0, 0, 8, "gif")).toDS()
+    val cuts = sceneCuts(frameFeatures(sampleFrames(media, stride = 2)), 60.0)
+      .collect().map(r => (r.getInt(1), r.getBoolean(3))).sortBy(_._1)
+    // frames 0/2/4/6, means 40/48/200/208 → deltas 8/152/8: frame-4 cut only
+    assert(cuts === Seq((0, false), (2, false), (4, true), (6, false)))
+  }
+
+  test("GIF compositing honors frame offsets (partial frame over canvas)") {
+    // frame 0: full 16x12 gray 100; frame 1: 8x6 patch of 200 at (4,3).
+    // Composited frame-1 mean = (144*100 + 48*200)/192 = 125.0 exactly.
+    val buf = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(buf)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    def gray(w: Int, h: Int, v: Int) = {
+      val ramp = Array.tabulate(256)(_.toByte)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED,
+        new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp))
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(v, v, v)); g.fillRect(0, 0, w, h); g.dispose()
+      img
+    }
+    def write(img: java.awt.image.BufferedImage, x: Int, y: Int): Unit = {
+      val md = writer.getDefaultImageMetadata(
+        new javax.imageio.ImageTypeSpecifier(img), writer.getDefaultWriteParam)
+      val fmt = "javax_imageio_gif_image_1.0"
+      val tree = md.getAsTree(fmt).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      val desc = tree.getElementsByTagName("ImageDescriptor").item(0)
+        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      desc.setAttribute("imageLeftPosition", x.toString)
+      desc.setAttribute("imageTopPosition", y.toString)
+      md.setFromTree(fmt, tree)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, md), null)
+    }
+    write(gray(16, 12, 100), 0, 0)
+    write(gray(8, 6, 200), 4, 3)
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+
+    val frames = JdkCodec.gifLumaFrames(buf.toByteArray, stride = 1)
+    assert(frames.size === 2)
+    val means = frames.map { case (_, _, _, l) =>
+      l.map(_ & 0xff).sum.toDouble / l.length
+    }
+    assert(means === Seq(100.0, 125.0))
+    // canvas stays logical-screen sized even for the partial frame
+    assert(frames.forall { case (_, w, h, _) => w == 16 && h == 12 })
+  }
+
+  test("q89 golden query matches its closed-form oracle values in-suite") {
+    val got = MultimodalQueries.q89VideoSceneCuts(spark, "unused")
+      .collect().map(r => (r.getLong(0),
+        r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getDouble(2),
+        r.getBoolean(3))).toList
+    assert(got === List(
+      (0L, 40.0, null, false), (1L, 44.0, 4.0, false),
+      (2L, 48.0, 4.0, false), (3L, 52.0, 4.0, false),
+      (4L, 200.0, 148.0, true), (5L, 204.0, 4.0, false),
+      (6L, 208.0, 4.0, false), (7L, 100.0, -108.0, true)))
+  }
 }
