@@ -157,6 +157,37 @@ object Bench {
     }
   }
 
+  /** Sums shuffle-write volume across finished tasks — the probe-side
+    * companion to CpuTally for plan-shape claims ("path A shuffles ≪
+    * path B") that rounds 11-12 argued but never measured. Same bus
+    * caveats as CpuTally: read deltas via settled-style polling between
+    * legs, not mid-job.
+    */
+  final class ShuffleTally extends org.apache.spark.scheduler.SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val records = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        records.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+    def settled(): (Long, Long) = {
+      var prev = (-1L, -1L)
+      var cur = (bytes.get(), records.get())
+      var stable = 0
+      var spins = 0
+      while (stable < 3 && spins < 200) {
+        prev = cur; Thread.sleep(10); cur = (bytes.get(), records.get())
+        spins += 1
+        if (cur == prev) stable += 1 else stable = 0
+      }
+      cur
+    }
+  }
+
   /** Streaming throughput probe (round-7 verdict item #5): end-to-end
     * sustained events/s through the LIVE pipeline, measured, not claimed.
     *
