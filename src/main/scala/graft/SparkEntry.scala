@@ -25,6 +25,7 @@ object SparkEntry {
     (similarity.DedupClusters.queries, similarity.DedupClusters.oracles),
     (similarity.Embeddings.queries, similarity.Embeddings.oracles),
     (similarity.QuantizedAnn.queries, similarity.QuantizedAnn.oracles),
+    (similarity.ProductQuantization.queries, similarity.ProductQuantization.oracles),
     (multimodal.MultimodalQueries.queries, multimodal.MultimodalQueries.oracles))
 
   /** Flagship: the reference's richest single query — `get_tick_features`
