@@ -26,6 +26,7 @@ object SparkEntry {
     (similarity.Embeddings.queries, similarity.Embeddings.oracles),
     (similarity.QuantizedAnn.queries, similarity.QuantizedAnn.oracles),
     (similarity.ProductQuantization.queries, similarity.ProductQuantization.oracles),
+    (similarity.IvfPq.queries, similarity.IvfPq.oracles),
     (multimodal.MultimodalQueries.queries, multimodal.MultimodalQueries.oracles))
 
   /** Flagship: the reference's richest single query — `get_tick_features`
