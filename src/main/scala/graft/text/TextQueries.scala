@@ -770,8 +770,12 @@ object TextQueries {
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(size(toks)).as("n_tokens"))
-    val total = bySource.agg(
-      sum(pow(col("n_tokens").cast("double"), MixAlpha))).head().getDouble(0)
+    val r0 = bySource.agg(
+      sum(pow(col("n_tokens").cast("double"), MixAlpha))).head()
+    // sum over zero rows is NULL — an empty corpus (fresh store, empty
+    // partition slice) must degrade to an empty report, not a driver NPE
+    // (EmptyTablesSpec; the oracle's by_source is empty there too)
+    val total = if (r0.isNullAt(0)) 1.0 else r0.getDouble(0)
     bySource
       .withColumn("weight",
         round(pow(col("n_tokens").cast("double"), MixAlpha) / total + MixEps, 6))
