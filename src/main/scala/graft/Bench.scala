@@ -337,12 +337,32 @@ object Bench {
       s""""iterations_per_sec":${r1(iters / sec)}}"""
   }
 
+  /** Full-materialization sink for timed reps. Timing `.count()` (rounds
+    * 1-12) let Catalyst PRUNE whatever the count doesn't need — q58's
+    * entire semi join vanished under count (0.37 s "steady state" vs 34 s
+    * materialized at 10×, caught round 13 chasing a bogus q86-vs-q58 gap),
+    * and every projection-heavy text query was silently timed as a bare
+    * scan-count. The noop v2 sink evaluates every output row and column
+    * (what a pipeline consumer pays, and what DuckDB's fetchall oracle leg
+    * pays) and writes nothing. Round-13 BENCH numbers are therefore NOT
+    * comparable to r12-and-earlier per-query history; the artifact carries
+    * `"materialize":"noop"` to mark the protocol.
+    */
+  def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def runQuery(spark: SparkSession, sfDir: String, name: String,
       fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
       tally: Option[CpuTally] = None): QResult = {
-    // warm run: captures rows and any error; a broken query is never timed
+    // warm run: captures rows and any error; a broken query is never timed.
+    // The count plan differs from the noop plan (pruning), so the noop
+    // shape gets its own untimed warm-up before the reps.
     val warm =
-      try Right(fn(spark, sfDir).count())
+      try {
+        val rows = fn(spark, sfDir).count()
+        materialize(fn(spark, sfDir))
+        Right(rows)
+      }
       catch { case t: Throwable =>
         Left(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(200)}")
       }
@@ -351,7 +371,7 @@ object Bench {
       case Right(rows) =>
         val timed = (1 to 3).map { _ =>
           val cpu0 = tally.map(_.settled())
-          val wall = time { fn(spark, sfDir).count() }
+          val wall = time { materialize(fn(spark, sfDir)) }
           val cpu = tally.map(t => (t.settled() - cpu0.get) / 1e9)
           (wall, cpu)
         }
@@ -526,7 +546,8 @@ object Bench {
     if (detailOut.nonEmpty) try {
       val w = new java.io.PrintWriter(detailOut, "UTF-8")
       try w.println(
-        s"""{"sf":${jstr(sfDir)},"errors":${results.count(_.err.nonEmpty)},""" +
+        s"""{"sf":${jstr(sfDir)},"materialize":"noop",""" +
+        s""""errors":${results.count(_.err.nonEmpty)},""" +
         s""""canary":$canary,"subtotals":$subtotals,"recheck":$recheck,""" +
         s""""detail":$detail}""")
       finally w.close()
@@ -542,7 +563,7 @@ object Bench {
                 else results.filter(r => Headline.contains(r.name)))
       .map(r => jstr(r.name) + ":" + r3(r.sec)).mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slim,"sf":"$sfDir",""" +
-      s""""queries_run":${results.size},"errors":${results.count(_.err.nonEmpty)},""" +
+      s""""materialize":"noop","queries_run":${results.size},"errors":${results.count(_.err.nonEmpty)},""" +
       s""""subtotals":$subtotals,"legs_canary_cpu_sec":${r3(legCanaryCpu)},""" +
       s""""recheck":$recheck,"streaming":$streaming,"mc":$mc,"canary":$canary}""")
     spark.stop()

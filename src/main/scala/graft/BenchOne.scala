@@ -22,8 +22,10 @@ object BenchOne {
     }
     for (rep <- 1 to n; name <- names) {
       val t0 = System.nanoTime()
-      val c = SparkEntry.queries(name)(spark, sfDir).count()
-      println(f"rep$rep $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s  rows=$c")
+      // full materialization (Bench.materialize): count() lets Catalyst
+      // prune the actual work for some plans — see Bench scaladoc
+      Bench.materialize(SparkEntry.queries(name)(spark, sfDir))
+      println(f"rep$rep $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
     }
     spark.stop()
   }
