@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashFromText].getName, "minhash_text"),
       MinHashFromText.build))
     ext.injectFunction((
+      FunctionIdentifier("text_shingles"),
+      new ExpressionInfo(classOf[TextShingles].getName, "text_shingles"),
+      TextShingles.build))
+    ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       exprs => SimHash64(exprs.head)))

@@ -87,15 +87,15 @@ object HeavyHitters {
 
   /** One row per corpus bigram occurrence (slim single string column —
     * the only thing either pass ever materializes per token position).
-    * Docs under 2 tokens contribute nothing (`sequence(1, 0)` would run
-    * descending — same guard as q58's shingles).
+    * Docs under 2 tokens contribute nothing (TextShingles emits an empty
+    * array there); multiplicity is kept — bigram COUNTS need duplicates.
+    * Native expression for the same reason as q58's shingles: the
+    * compositional HOF idiom ran interpreted (see TextShingles scaladoc).
     */
   private def bigrams(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.documents(s, d).select(
-      explode(when(size(toks) >= 2,
-        transform(sequence(lit(1), size(toks) - 1),
-          i => array_join(slice(toks, i, lit(2)), " ")))
-        .otherwise(array().cast("array<string>"))).as("gram"))
+      explode(graft.functions.TextShingles.text_shingles(s, "text", 2))
+        .as("gram"))
 
   // ---------------------------------------------------------------------------
   // q85 — heavy-hitter bigram vocabulary: every bigram with exact corpus

@@ -225,20 +225,21 @@ object TextQueries {
   val TrainFraction = 0.8
 
   /** Shared by q58/q86: (doc_id, distinct 8-gram shingles, is_train). */
-  private[text] def decontaminationDocs(s: org.apache.spark.sql.SparkSession,
+  private[graft] def decontaminationDocs(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val n = DecontaminationNgram
-    val sh = transform(sequence(lit(1), size(toks) - (n - 1)),
-      i => array_join(slice(toks, i, lit(n)), " "))
+    // native codegen'd shingling (functions.TextShingles — short docs get
+    // an empty shingle set built in, so short eval docs still appear in
+    // the report as contaminated=false); the compositional HOF idiom it
+    // replaces ran interpreted at ~500 µs/doc and dominated the whole
+    // family under the r13 full-materialization protocol. Equivalence to
+    // the compositional form is property-tested (TextShinglesSpec), and
+    // the DuckDB oracle still runs the compositional SQL — a divergence
+    // fails the hash gate.
     Tables.documents(s, d)
       .select(col("doc_id"),
-        // docs under n tokens keep an EMPTY shingle set (inside the when:
-        // sequence(1, negative) would run descending) so short eval docs
-        // still appear in the report as contaminated=false — an 8-gram
-        // check simply cannot flag them, and silently dropping them would
-        // make the output read as "every eval doc, flagged" when it isn't
-        when(size(toks) >= n, array_distinct(sh))
-          .otherwise(array().cast("array<string>")).as("shingles"),
+        array_distinct(graft.functions.TextShingles
+          .text_shingles(s, "text", n)).as("shingles"),
         (graft.hashBucket01(col("doc_id")) < TrainFraction).as("is_train"))
   }
 
