@@ -239,13 +239,21 @@ object CoreQueries {
   // (`volatility_study.py:174-184`; exact `percentile` = numpy linear
   // interpolation = DuckDB quantile_cont — NOT percentile_approx).
   val q13Percentiles: Q = (s, d) =>
+    // ONE percentile state for all five ranks (the array form): five
+    // scalar percentile() calls each build their own O(distinct) value
+    // map over the same column — measured 1.62 s vs 0.5 s at sf0.1 under
+    // the r13 full-materialization protocol. Same exact algorithm, same
+    // interpolated values, element-extracted to the same columns.
     Tables.orders(s, d)
-      .agg(
-        round(expr("percentile(o_totalprice, 0.05)"), 4).as("p05"),
-        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
-        round(expr("percentile(o_totalprice, 0.50)"), 4).as("p50"),
-        round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
-        round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+      .agg(expr(
+        "percentile(o_totalprice, array(0.05D, 0.25D, 0.50D, 0.75D, 0.99D))")
+        .as("ps"))
+      .select(
+        round(element_at(col("ps"), 1), 4).as("p05"),
+        round(element_at(col("ps"), 2), 4).as("p25"),
+        round(element_at(col("ps"), 3), 4).as("p50"),
+        round(element_at(col("ps"), 4), 4).as("p75"),
+        round(element_at(col("ps"), 5), 4).as("p99"))
   val q13Sql: String =
     """SELECT round(quantile_cont(o_totalprice, 0.05), 4) AS p05,
       |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,

@@ -372,9 +372,12 @@ object TextQueries {
     val wins = Tables.documents(s, d)
       .filter(size(toks) >= w)
       .select(col("doc_id"),
-        posexplode(transform(sequence(lit(1), size(toks) - (w - 1)),
-          i => xxhash64(array_join(slice(toks, i, lit(w)), " "))))
-          .as(Seq("pos0", "h")))
+        // native shingles + per-element xxhash64: the remaining lambda is
+        // one codegen'd-expression dispatch per window, not the full
+        // slice+join string rebuild the old idiom paid
+        posexplode(transform(
+          graft.functions.TextShingles.text_shingles(s, "text", w),
+          t => xxhash64(t))).as(Seq("pos0", "h")))
       .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("h"))
     val dup = wins
       .withColumn("occ", count(lit(1)).over(
@@ -454,10 +457,9 @@ object TextQueries {
     def bucketOf(c: org.apache.spark.sql.Column) =
       pmod(conv(substring(md5(c), 1, 8), 16, 10).cast("long"), lit(b.toLong))
     val docs = Tables.documents(s, d)
-    val bi = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => array_join(slice(toks, i, lit(2)), " ")))
-      .otherwise(array().cast("array<string>"))
+    // native bigrams (functions.TextShingles — the interpreted HOF idiom
+    // it replaces was q79/q82's dominant cost under the r13 protocol)
+    val bi = graft.functions.TextShingles.text_shingles(s, "text", 2)
     val grams = docs.select(col("doc_id"), col("source"),
       explode(concat(toks, bi)).as("gram"))
     // (doc, bucket, cnt) feeds BOTH the bucket model and the per-doc
