@@ -114,29 +114,19 @@ object SimilarityQueries {
   private val NumHashes = 16
   private val BandSize = 4
 
-  /** Distinct 3-token shingle set of a BOUND token-array column `t` —
-    * zipping three shifted slices, NOT element_at inside a transform lambda
-    * over an inlined split(): optimizer inlining re-evaluates split() per
-    * lambda element, turning shingling O(n²) per document (measured ~9×
-    * slower at sf0.1). Fewer than 3 tokens → empty array (the slice length
-    * is clamped at 0).
-    */
-  private def shingleArray(t: Column): Column = {
-    val m = greatest(size(t) - 2, lit(0))
-    array_distinct(transform(
-      arrays_zip(slice(t, lit(1), m), slice(t, lit(2), m), slice(t, lit(3), m)),
-      z => concat_ws(" ", z("0"), z("1"), z("2"))))
-  }
-
-  /** Adds `outCol`: the distinct 3-token shingle set of `textCol`. The token
-    * array is bound as a real column first (see [[shingleArray]]).
+  /** Adds `outCol`: the distinct 3-token shingle set of `textCol` — the
+    * native codegen'd expression (functions.TextShingles; equivalence to
+    * the compositional arrays_zip/concat_ws idiom this replaced is
+    * property-tested in TextShinglesSpec, and every consumer is
+    * oracle-gated against compositional SQL). The HOF form ran
+    * interpreted and was q36/q55/q47's dominant cost under the r13
+    * full-materialization protocol.
     */
   def addShingles(df: DataFrame, textCol: String, outCol: String,
       dropText: Boolean = false): DataFrame = {
-    val tmp = s"__t_$outCol"
-    val out = df.withColumn(tmp, split(col(textCol), " "))
-      .withColumn(outCol, shingleArray(col(tmp)))
-      .drop(tmp)
+    val out = df.withColumn(outCol,
+      array_distinct(graft.functions.TextShingles
+        .text_shingles(df.sparkSession, textCol, 3)))
     if (dropText) out.drop(textCol) else out
   }
 

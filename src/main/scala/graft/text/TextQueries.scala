@@ -1137,9 +1137,11 @@ object TextQueries {
       .withColumn("__t", toks)
       .filter(size(t) >= k + w - 1)
       .select(col("doc_id"), (size(t) - (k - 1)).as("m"),
-        posexplode(transform(sequence(lit(1), size(t) - (k - 1)),
-          i => h32(array_join(slice(t, i, lit(k)), " "))))
-          .as(Seq("g0", "h")))
+        // native k-gram strings + per-element h32: the remaining lambda is
+        // md5+conv per gram, not the interpreted slice+join string rebuild
+        posexplode(transform(
+          graft.functions.TextShingles.text_shingles(s, "text", k),
+          x => h32(x))).as(Seq("g0", "h")))
       .select(col("doc_id"), col("m"), (col("g0") + 1).as("g"), col("h"))
     // window j covers gram positions [j, j+w-1]; g belongs to windows
     // j in [max(1, g-w+1), min(g, m-w+1)] (non-empty whenever m >= w,
