@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TextShingles].getName, "text_shingles"),
       TextShingles.build))
     ext.injectFunction((
+      FunctionIdentifier("sliding_min"),
+      new ExpressionInfo(classOf[SlidingMin].getName, "sliding_min"),
+      SlidingMin.build))
+    ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       exprs => SimHash64(exprs.head)))

@@ -564,20 +564,19 @@ object SimilarityQueries {
 
   val q48Winnowing: Q = (s, d) => {
     graft.functions.Hash64.register(s)
-    val t = col("__toks")
-    val n = size(t)
-    val orderedShingles = transform(
-      arrays_zip(slice(t, lit(1), n - 2), slice(t, lit(2), n - 2),
-        slice(t, lit(3), n - 2)),
-      z => concat_ws(" ", z("0"), z("1"), z("2")))
+    graft.functions.TextShingles.register(s)
+    graft.functions.SlidingMin.register(s)
+    // ORDERED shingles via the native expression (duplicates kept —
+    // winnowing is positional), window minima via the native monotonic
+    // deque: per-doc arrays end to end, no explode, no shuffle before the
+    // final orderBy. >= w shingles ⇔ the old >= 2+w token filter
+    // (text_shingles yields n−2 shingles for n ≥ 3, none below).
     Tables.documents(s, d)
-      .withColumn("__toks", split(col("text"), " "))
-      .filter(n >= 2 + WinnowWindow) // >= w shingles
-      .withColumn("__osh", orderedShingles)
+      .withColumn("__osh", expr("text_shingles(text, 3)"))
+      .filter(size(col("__osh")) >= WinnowWindow)
       .withColumn("hs", expr("transform(__osh, x -> hash64(x))"))
-      .withColumn("fps", array_distinct(transform(
-        sequence(lit(1), size(col("hs")) - (WinnowWindow - 1)),
-        start => array_min(slice(col("hs"), start, lit(WinnowWindow))))))
+      .withColumn("fps",
+        array_distinct(expr(s"sliding_min(hs, $WinnowWindow)")))
       .select(col("doc_id"),
         size(col("hs")).as("n_shingles"),
         size(col("fps")).as("n_fingerprints"),
@@ -1022,8 +1021,9 @@ object SimilarityQueries {
   private val U64 = "18446744073709551616" // 2^64, HUGEINT literal
   private val I64Min = "9223372036854775808" // 2^63
 
-  /** Signed BIGINT from a HUGEINT value in [0, 2^64). */
-  private def toI64(e: String): String =
+  /** Signed BIGINT from a HUGEINT value in [0, 2^64). Package-visible:
+    * TextQueries.q81Sql composes it with [[hashStages]]. */
+  private[graft] def toI64(e: String): String =
     s"CAST(CASE WHEN $e >= $I64Min THEN $e - $U64 ELSE $e END AS BIGINT)"
 
   /** `(v * m) mod 2^64` over HUGEINT `v` in [0, 2^64): the multiplier is

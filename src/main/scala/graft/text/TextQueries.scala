@@ -1110,9 +1110,16 @@ object TextQueries {
   // identical hash — a hash-independent oracle is impossible by design,
   // and md5-prefix keeps the generated SQL chain out of it.
   // Shape at 100 TB:
-  //   - the w-way window membership explode collapses map-side into one
-  //     (doc, window) row before any shuffle; only selected fingerprints
-  //     (~2/(w+1) of positions, 12 bytes each) survive;
+  //   - fingerprint SELECTION is a per-document narrow pipeline: native
+  //     k-gram shingles -> per-gram h32 -> native sliding_min (one
+  //     monotonic-deque pass) -> array_distinct -> explode. No window
+  //     membership explode, no aggregation, NO SHUFFLE before the
+  //     boilerplate count — only selected fingerprints (~2/(w+1) of
+  //     positions, 12 bytes each) ever leave the scan stage. The oracle
+  //     keeps the paper's rightmost-minimal rule; the overlap join
+  //     consumes fingerprint VALUES (distinct per doc), and a window's
+  //     selected value IS its minimum whatever position the tie-break
+  //     picks, so plain window-mins give the identical distinct set;
   //   - fingerprints appearing in > WinnowDocCap docs are boilerplate
   //     (the paper §5 drops them too) — killing them bounds the self-join
   //     bucket fan-out exactly like q43/q63's band caps;
@@ -1123,38 +1130,29 @@ object TextQueries {
   val WinnowDocCap = 50
   val WinnowMinShared = 2
   /** Per-doc distinct winnowing fingerprints pre-checkpoint — factored out
-    * so PlanSpec can assert the selection pipeline's shape (map-side
-    * combined window-min, no cartesian anywhere).
+    * so PlanSpec can assert the selection pipeline's shape (shuffle-free
+    * narrow pipeline, no cartesian anywhere). Value-set equivalence to
+    * the robust (rightmost-minimal) rule argued in the q81 header.
     */
   private[graft] def winnowFingerprints(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
+    graft.functions.SlidingMin.register(s)
     val k = WinnowK
     val w = WinnowW
     def h32(c: org.apache.spark.sql.Column) =
       conv(substring(md5(c), 1, 8), 16, 10).cast("long")
-    val t = col("__t")
-    val grams = Tables.documents(s, d)
-      .withColumn("__t", toks)
-      .filter(size(t) >= k + w - 1)
-      .select(col("doc_id"), (size(t) - (k - 1)).as("m"),
-        // native k-gram strings + per-element h32: the remaining lambda is
-        // md5+conv per gram, not the interpreted slice+join string rebuild
-        posexplode(transform(
-          graft.functions.TextShingles.text_shingles(s, "text", k),
-          x => h32(x))).as(Seq("g0", "h")))
-      .select(col("doc_id"), col("m"), (col("g0") + 1).as("g"), col("h"))
-    // window j covers gram positions [j, j+w-1]; g belongs to windows
-    // j in [max(1, g-w+1), min(g, m-w+1)] (non-empty whenever m >= w,
-    // which size >= k+w-1 guarantees)
-    val member = grams.select(col("doc_id"), col("g"), col("h"),
-      explode(sequence(greatest(lit(1), col("g") - (w - 1)),
-        least(col("g"), col("m") - (w - 1)))).as("j"))
-    // rightmost minimal hash per window: lexicographic struct-min on
-    // (h asc, g desc) — deterministic even under hash ties
-    member.groupBy("doc_id", "j")
-      .agg(min(struct(col("h"), (-col("g")).as("ng"))).as("sel"))
-      .select(col("doc_id"), col("sel.h").as("h"))
-      .distinct()
+    val sh = col("__sh")
+    Tables.documents(s, d)
+      .withColumn("__sh",
+        graft.functions.TextShingles.text_shingles(s, "text", k))
+      // m >= w shingles <=> len(tokens) >= k+w-1 (text_shingles yields
+      // n-(k-1) grams for n >= k, none below)
+      .filter(size(sh) >= w)
+      // native k-gram strings + per-element h32: the remaining lambda is
+      // md5+conv per gram, not the interpreted slice+join string rebuild
+      .withColumn("hs", transform(sh, x => h32(x)))
+      .select(col("doc_id"),
+        explode(array_distinct(expr(s"sliding_min(hs, $w)"))).as("h"))
   }
 
   val q81WinnowOverlap: Q = (s, d) => {

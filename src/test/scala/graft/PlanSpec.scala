@@ -212,11 +212,15 @@ class PlanSpec extends SparkSpec {
       s"fixed-size sample must heap per partition, not globally sort:\n${p.take(1500)}")
   }
 
-  test("q81: winnowing selection map-side combines; overlap join is never a nested loop") {
+  test("q81: winnowing selection is shuffle-free; overlap join is never a nested loop") {
     val sel = text.TextQueries.winnowFingerprints(spark, d)
       .queryExecution.sparkPlan.toString
-    assert(sel.contains("partial_min"),
-      s"per-window struct-min must map-side combine:\n${sel.take(1500)}")
+    // per-doc sliding_min selection: scan -> project -> explode, narrow
+    // end to end — fingerprints leave the scan stage already selected
+    assert(!sel.contains("Exchange"),
+      s"winnowing selection must not shuffle:\n${sel.take(1500)}")
+    assert(sel.contains("sliding_min"),
+      s"selection must ride the native window-min:\n${sel.take(1500)}")
     assert(!sel.contains("CartesianProduct") &&
       !sel.contains("BroadcastNestedLoopJoin"),
       s"winnowing selection is a single-relation pipeline:\n${sel.take(1500)}")
