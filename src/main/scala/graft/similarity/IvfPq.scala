@@ -73,7 +73,12 @@ object IvfPq {
       .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
     for (_ <- 1 to IvfIters)
       cents = update(assign(cents)).localCheckpoint()
-    (cents, assign(cents))
+    // the final assignment feeds residualSubs AND (via fit) the code
+    // assignment — checkpoint it so the broadcast-join+groupBy subtree
+    // runs once per fit, not once per consumer. At cluster scale this
+    // materialization IS the index build: the assigned lists are exactly
+    // what an IVF layout persists (list id = partition key).
+    (cents, assign(cents).localCheckpoint())
   }
 
   /** Residual subvectors (vec_id, ccid, sub, sv): one row per (vector,
@@ -96,7 +101,11 @@ object IvfPq {
   private[similarity] def fit(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val coarse = coarseFit(s, d)
-    val rsub = residualSubs(s, coarse)
+    // rsub is read by the PQ init filter, every Lloyd round, and the
+    // final code assignment — checkpoint the residual split once (N*M
+    // slim rows; at cluster scale this is the transient build-side of
+    // the index, partitioned by list like the codes it produces)
+    val rsub = residualSubs(s, coarse).localCheckpoint()
     def assign(cents: DataFrame): DataFrame =
       rsub.join(broadcast(cents), Seq("sub"))
         .withColumn("dist2", l2sq6(s, "sv", "cv"))
