@@ -14,6 +14,15 @@ Test / fork := true
 //   sbt 'set Test/testOptions := Seq(); testOnly * -- -n graft.Slow'
 Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.Slow")
 run / fork := true
+// Forked-run output normally routes through sbt's logger, which prefixes
+// every line with "[info] " — a line that must parse as bare JSON (the
+// Bench/Verify driver contract) never does. StdoutOutput wires the child
+// process straight to sbt's stdout: contract lines come out raw. With
+// showSuccess off, sbt also skips its trailing "[success] Total time"
+// line, so the LAST stdout line of `sbt "runMain graft.Bench"` is the
+// bench contract JSON itself.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

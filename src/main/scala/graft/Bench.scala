@@ -57,17 +57,19 @@ object Bench {
     "q77_simhash_pairs_blocked")
 
   /** Per-query seconds on the STDOUT contract line are limited to this
-    * headline subset (one per operator family): the driver archives only a
-    * 2000-char stdout tail, and the full 86-entry map (~3 KB) pushed the
-    * line's opening brace out of the window two rounds running
-    * ("parsed": null in BENCH_r11/r12). The full board lives in
+    * headline subset: the driver archives only a 2000-char stdout tail and
+    * its parser has rejected every line shape tried through r13 (full map
+    * r11/r12, 12-query map r13 — "parsed": null all three rounds even with
+    * the line complete in the tail). r14 shrinks the contract line under
+    * 512 bytes (judge bar), prints it BOTH immediately after the sweep and
+    * as the very last stdout line, and — the structural suspect — build.sbt
+    * now sets `run / outputStrategy := StdoutOutput` so the line arrives
+    * raw instead of behind sbt's "[info] " logger prefix, which no bare
+    * `json.loads(line)` survives. The full board lives in
     * BENCH_detail.json, which the driver commits alongside.
     */
   val Headline: Seq[String] = Seq(
-    "q01_group_agg", "q03_join_agg", "q13_percentiles", "q21_window_lag",
-    "q35_exact_dedup", "q40_cosine_topk", "q43_minhash_lsh_pairs",
-    "q55_dedup_clusters", "q58_decontamination", "q69_kmeans",
-    "q85_heavy_hitters", "q88_exact_quantiles")
+    "q01_group_agg", "q43_minhash_lsh_pairs", "q85_heavy_hitters")
 
   def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
@@ -369,7 +371,11 @@ object Bench {
     warm match {
       case Left(err) => QResult(name, -1.0, -1L, Some(err), Nil)
       case Right(rows) =>
-        val timed = (1 to 3).map { _ =>
+        // SPARK_GRAFT_BENCH_REPS trims timed reps for the replica-ladder
+        // boards (100× × 89 queries × 3 reps is hours of wall; 2 reps
+        // with min-of-reps reading keeps the board inside a round)
+        val nReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+        val timed = (1 to nReps).map { _ =>
           val cpu0 = tally.map(_.settled())
           val wall = time { materialize(fn(spark, sfDir)) }
           val cpu = tally.map(t => (t.settled() - cpu0.get) / 1e9)
@@ -488,6 +494,23 @@ object Bench {
     val subtotals =
       s"""{"idiomatic":${r3(idiomaticTotal)},"hash_family":${r3(hashTotal)}}"""
 
+    // THE driver contract line: <512 bytes, bare JSON (build.sbt routes
+    // forked stdout raw — no "[info] " prefix), printed TWICE — right here,
+    // before the legs (which take minutes and could die), and again as the
+    // very last line of stdout so it survives whichever end of the stream
+    // the driver reads. The per-query map carries only the 3-query Headline
+    // subset unless the sweep was already narrowed; the full board is in
+    // BENCH_detail.json.
+    val slim = (if (results.size <= 8) results
+                else results.filter(r => Headline.contains(r.name)))
+      .map(r => jstr(r.name) + ":" + r3(r.sec)).mkString("{", ",", "}")
+    val metricLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slim,""" +
+      s""""sf":${jstr(sfDir)},"materialize":"noop",""" +
+      s""""queries_run":${results.size},"errors":${results.count(_.err.nonEmpty)},""" +
+      s""""subtotals":$subtotals}"""
+    println(metricLine)
+
     def block(f: => String): String =
       try f
       catch { case t: Throwable =>
@@ -527,14 +550,11 @@ object Bench {
       }
     }
 
-    // The canary goes out THREE ways on purpose (round-9 verdict #7: the
-    // archived artifact kept only the tail of the main line, and the huge
-    // `detail` block swallowed the one field that tells machine degradation
-    // from code regression): (1) its own line BEFORE the main line, (2) at
-    // the very END of the main line, after `detail`, so a tail-truncated
-    // artifact still carries it, (3) `streaming` rides in the tail too.
+    // Diagnostics line (no "metric" key, so the driver can't mistake it
+    // for the contract line): canary, leg results, sentinel recheck. Also
+    // all duplicated into BENCH_detail.json below.
     println(s"""{"canary":$canary,"legs_canary_cpu_sec":${r3(legCanaryCpu)},""" +
-      s""""streaming":$streaming,"mc":$mc}""")
+      s""""streaming":$streaming,"mc":$mc,"recheck":$recheck}""")
     // Per-query history survives tail truncation by living in its OWN file
     // (round-10 verdict #4): the archived BENCH_rNN.json keeps only the
     // main line's tail, so round-over-round comparison covered ~13 of 73
@@ -552,20 +572,9 @@ object Bench {
         s""""detail":$detail}""")
       finally w.close()
     } catch { case _: java.io.IOException => () }
-    // The main line stays SLIM on purpose, and now FITS the tail window
-    // whole: r11 slimmed `detail` out but kept the full per-query map,
-    // which at 86 queries still ran ~3 KB and truncated the line's start
-    // (r12 verdict #2, "parsed": null again). The stdout map carries only
-    // the Headline subset, ms-rounded — unless a narrowed sweep
-    // (SPARK_GRAFT_QUERIES) is already small enough to ship in full. The
-    // complete board is in BENCH_detail.json either way.
-    val slim = (if (results.size <= 20) results
-                else results.filter(r => Headline.contains(r.name)))
-      .map(r => jstr(r.name) + ":" + r3(r.sec)).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slim,"sf":"$sfDir",""" +
-      s""""materialize":"noop","queries_run":${results.size},"errors":${results.count(_.err.nonEmpty)},""" +
-      s""""subtotals":$subtotals,"legs_canary_cpu_sec":${r3(legCanaryCpu)},""" +
-      s""""recheck":$recheck,"streaming":$streaming,"mc":$mc,"canary":$canary}""")
+    // the contract line again, as the absolute last line of stdout (after
+    // stop(), so no Spark shutdown chatter can land behind it)
     spark.stop()
+    println(metricLine)
   }
 }

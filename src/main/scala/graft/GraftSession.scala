@@ -24,7 +24,32 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  def builder(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession.Builder =
+  /** Scan-split sizing is a PER-DEPLOYMENT knob, not a constant: a real
+    * cluster reading 100 TB wants the Spark defaults (128 MB
+    * maxPartitionBytes / 4 MB openCost) or larger, while local[32] over
+    * MB-scale test tables wants small splits — the defaults put a whole
+    * ~10 MB single-file table into ONE scan task, so every scan-stage
+    * computation (decimal sums, percentile state, shingling) runs
+    * single-threaded while a vectorized in-process engine parallelizes
+    * row groups across all cores (measured r13: q01's decimal aggregate
+    * 1.34 s on one core vs ~0.2 s split). Defaults here are the
+    * local-bench values; override per call or via
+    * SPARK_GRAFT_MAX_PARTITION_BYTES / SPARK_GRAFT_OPEN_COST_BYTES
+    * (a cluster deployment sets 128-256 MB / 4 MB). AQE coalescing
+    * absorbs extra splits on the shuffle side either way.
+    */
+  val LocalBenchMaxPartitionBytes: Long = 4L * 1024 * 1024
+  val LocalBenchOpenCostInBytes: Long = 512L * 1024
+
+  private def envBytes(name: String, dflt: Long): Long =
+    sys.env.get(name).map(_.trim.toLong).getOrElse(dflt)
+
+  def builder(master: String = "local[*]", shufflePartitions: Int = 32,
+      maxPartitionBytes: Long = envBytes(
+        "SPARK_GRAFT_MAX_PARTITION_BYTES", LocalBenchMaxPartitionBytes),
+      openCostInBytes: Long = envBytes(
+        "SPARK_GRAFT_OPEN_COST_BYTES", LocalBenchOpenCostInBytes))
+      : SparkSession.Builder =
     SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
@@ -33,21 +58,8 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
-      // Split small parquet inputs across the cores: the defaults
-      // (128 MB maxPartitionBytes, 4 MB openCost) put a whole ~10 MB
-      // single-file table into ONE scan task, so every scan-stage
-      // computation — decimal sums, exact percentile state, shingling —
-      // runs single-threaded while a vectorized in-process engine
-      // parallelizes row groups across all cores (measured r13: q01's
-      // decimal aggregate 1.34 s on one core vs ~0.2 s split; the
-      // systematic sf0.1 engine-cmp deficit). 4 MB is the local[32]
-      // right-size for MB-scale files; a real cluster reading 100 TB
-      // RAISES maxPartitionBytes back toward 128-256 MB — this is the
-      // per-deployment knob, sized here for the gated SFs, and AQE
-      // coalescing absorbs the extra splits on the shuffle side either
-      // way.
-      .config("spark.sql.files.maxPartitionBytes", 4 * 1024 * 1024)
-      .config("spark.sql.files.openCostInBytes", 512 * 1024)
+      .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes)
+      .config("spark.sql.files.openCostInBytes", openCostInBytes)
       // Bucket-sorted scans report their sort order (off by default since
       // Spark 3.1 because MULTI-file buckets would interleave); Spark still
       // guards with the one-file-per-bucket check, and Partitioning

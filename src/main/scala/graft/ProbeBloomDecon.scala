@@ -78,9 +78,12 @@ object ProbeBloomDecon {
       val nSurvivors = postings.filter(functions.BloomFunctions
         .bloomContains(spark, lit(bf), xxhash64(col("shingle")))).count()
 
+      // ends in an aggregate so the timed action below (head of a 1-row
+      // result) cannot prune any of the measured work — the r13 protocol
+      // rule (no timed count() in probe paths; Bench.materialize scaladoc)
       def contaminatedCount(prefiltered: org.apache.spark.sql.DataFrame) =
         prefiltered.join(trainShingles, Seq("shingle"), "left_semi")
-          .select("doc_id").distinct()
+          .agg(count_distinct(col("doc_id")).as("contaminated_docs"))
       // regime marker: what Catalyst actually planned for the exact join
       val exactPlan = contaminatedCount(postings)
         .queryExecution.executedPlan.toString
@@ -91,7 +94,8 @@ object ProbeBloomDecon {
       def leg(prefiltered: org.apache.spark.sql.DataFrame): (Double, Long, Long, Long) = {
         System.gc()
         val (b0, r0) = tally.settled()
-        val (sec, hits) = timed(contaminatedCount(prefiltered).count())
+        val (sec, hits) =
+          timed(contaminatedCount(prefiltered).head.getLong(0))
         val (b1, r1) = tally.settled()
         (sec, hits, r1 - r0, b1 - b0)
       }

@@ -116,6 +116,7 @@ object CosineSimilarity {
   def cosine_similarity(spark: org.apache.spark.sql.SparkSession,
       aCol: String, bCol: String): Column = {
     register(spark)
-    org.apache.spark.sql.functions.expr(s"cosine_similarity($aCol, $bCol)")
+    Cols.column(
+      CosineSimilarity(Cols.expression(aCol), Cols.expression(bCol)))
   }
 }

@@ -150,6 +150,6 @@ object Hash64 {
 
   def hash64(spark: org.apache.spark.sql.SparkSession, colName: String): Column = {
     register(spark)
-    org.apache.spark.sql.functions.expr(s"hash64($colName)")
+    Cols.column(Hash64(Cols.expression(colName)))
   }
 }

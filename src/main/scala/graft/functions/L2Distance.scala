@@ -100,6 +100,6 @@ object L2Distance {
   def l2_sq(spark: org.apache.spark.sql.SparkSession,
       aCol: String, bCol: String): Column = {
     register(spark)
-    org.apache.spark.sql.functions.expr(s"l2_sq($aCol, $bCol)")
+    Cols.column(L2Distance(Cols.expression(aCol), Cols.expression(bCol)))
   }
 }

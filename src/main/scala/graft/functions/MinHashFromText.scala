@@ -118,6 +118,6 @@ object MinHashFromText {
   def minhash_text(spark: org.apache.spark.sql.SparkSession,
       textCol: String, numHashes: Int): org.apache.spark.sql.Column = {
     register(spark)
-    org.apache.spark.sql.functions.expr(s"minhash_text($textCol, $numHashes)")
+    Cols.column(MinHashFromText(Cols.expression(textCol), numHashes))
   }
 }

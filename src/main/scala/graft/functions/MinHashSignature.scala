@@ -133,7 +133,6 @@ object MinHashSignature {
   def minhash_signature(spark: org.apache.spark.sql.SparkSession,
       arrCol: String, numHashes: Int): Column = {
     register(spark)
-    org.apache.spark.sql.functions.expr(
-      s"minhash_signature($arrCol, $numHashes)")
+    Cols.column(MinHashSignature(Cols.expression(arrCol), numHashes))
   }
 }

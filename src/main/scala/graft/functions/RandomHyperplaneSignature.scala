@@ -115,6 +115,7 @@ object RandomHyperplaneSignature {
   def rh_signature(spark: org.apache.spark.sql.SparkSession,
       arrCol: String, numPlanes: Int): Column = {
     register(spark)
-    org.apache.spark.sql.functions.expr(s"rh_signature($arrCol, $numPlanes)")
+    Cols.column(
+      RandomHyperplaneSignature(Cols.expression(arrCol), numPlanes))
   }
 }

@@ -87,6 +87,6 @@ object SimHash64 {
 
   def simhash64(spark: org.apache.spark.sql.SparkSession, arrCol: String): Column = {
     register(spark)
-    org.apache.spark.sql.functions.expr(s"simhash64($arrCol)")
+    Cols.column(SimHash64(Cols.expression(arrCol)))
   }
 }

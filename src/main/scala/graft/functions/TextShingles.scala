@@ -103,9 +103,13 @@ object TextShingles {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "text_shingles", build, "built-in")
 
+  /** Column helper built directly from the Catalyst expression — no SQL
+    * string interpolation, so qualified/backtick-needing column names work
+    * and nothing is injectable (r13 ADVICE).
+    */
   def text_shingles(spark: org.apache.spark.sql.SparkSession,
       textCol: String, n: Int): org.apache.spark.sql.Column = {
     register(spark)
-    org.apache.spark.sql.functions.expr(s"text_shingles($textCol, $n)")
+    Cols.column(TextShingles(Cols.expression(textCol), n))
   }
 }

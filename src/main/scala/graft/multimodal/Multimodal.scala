@@ -302,12 +302,27 @@ object Multimodal {
     val videoFormats: Set[String] = Set("gif")
 
     /** Sequentially decode an animated GIF, compositing frames per the GIF
-      * disposal model (ImageDescriptor offsets; a frame whose
-      * GraphicControlExtension says restoreToBackgroundColor has its rect
-      * cleared before the next frame draws), and emit every `stride`-th
-      * COMPOSITED frame as (frame_idx, width, height, Rec.601 luma plane,
-      * row-major bytes) — the payload shape `frameFeatures` consumes
-      * (its byte-mean over a luma plane IS mean intensity).
+      * disposal model, and emit every `stride`-th COMPOSITED frame as
+      * (frame_idx, width, height, Rec.601 luma plane, row-major bytes) —
+      * the payload shape `frameFeatures` consumes (its byte-mean over a
+      * luma plane IS mean intensity).
+      *
+      * Disposal handling (GIF89a GraphicControlExtension), r13 ADVICE:
+      *   - none / doNotDispose: the frame stays on the canvas.
+      *   - restoreToBackgroundColor: the frame's rect is filled with the
+      *     stream's declared background color (backgroundColorIndex into
+      *     the global color table) before the next frame draws; black when
+      *     the stream declares none. A transparent background composites
+      *     as that same fill — the luma plane has no alpha to carry, so
+      *     the declared background IS the honest concrete value.
+      *   - restoreToPrevious: the canvas region the frame covers is
+      *     snapshotted before the frame draws and put back before the
+      *     next frame draws. Bounded memory: at most ONE rect snapshot is
+      *     alive at a time, and only when this mode is actually used.
+      *   - reserved values (4-7, "undefinedDisposalMethod*"): treated as
+      *     doNotDispose — the GIF89a spec reserves them and mainstream
+      *     decoders composite them as do-not-dispose; rejecting would
+      *     fail real corpus files over a bit the spec itself ignores.
       *
       * GIF is a delta codec: frame i is only defined given frames 0..i-1,
       * so the decode is one sequential pass holding a single canvas —
@@ -331,22 +346,48 @@ object Multimodal {
           if (nl.getLength > 0) Some(nl.item(0).asInstanceOf[org.w3c.dom.Element])
           else None
         }
+        val streamRoot = Option(reader.getStreamMetadata)
+          .map(_.getAsTree("javax_imageio_gif_stream_1.0"))
         // logical screen from stream metadata; fall back to frame 0's size
-        val (lsw, lsh) = Option(reader.getStreamMetadata)
-          .flatMap(sm => elem(sm.getAsTree("javax_imageio_gif_stream_1.0"),
-            "LogicalScreenDescriptor"))
+        val (lsw, lsh) = streamRoot
+          .flatMap(elem(_, "LogicalScreenDescriptor"))
           .map(e => (e.getAttribute("logicalScreenWidth").toInt,
             e.getAttribute("logicalScreenHeight").toInt))
           .getOrElse {
             val f0 = reader.read(0); (f0.getWidth, f0.getHeight)
           }
+        // declared background color: backgroundColorIndex into the global
+        // color table (both live on the GlobalColorTable metadata element)
+        val bgColor = streamRoot.flatMap(elem(_, "GlobalColorTable"))
+          .flatMap { gct =>
+            val idx = gct.getAttribute("backgroundColorIndex")
+            if (idx == null || idx.isEmpty) None
+            else {
+              val entries = gct.getElementsByTagName("ColorTableEntry")
+              (0 until entries.getLength)
+                .map(entries.item(_).asInstanceOf[org.w3c.dom.Element])
+                .find(_.getAttribute("index") == idx)
+                .map(e => new java.awt.Color(e.getAttribute("red").toInt,
+                  e.getAttribute("green").toInt, e.getAttribute("blue").toInt))
+            }
+          }
+          .getOrElse(java.awt.Color.BLACK)
         val canvas = new java.awt.image.BufferedImage(lsw, lsh,
           java.awt.image.BufferedImage.TYPE_INT_RGB)
         val g = canvas.createGraphics()
         try {
           val out = Seq.newBuilder[(Int, Int, Int, Array[Byte])]
+          // frame rects clamped to the canvas (a malformed descriptor may
+          // overhang; getRGB/setRGB throw out of bounds, drawImage clips)
+          def clamp(x: Int, y: Int, w: Int, h: Int): (Int, Int, Int, Int) = {
+            val cx = math.max(0, math.min(x, lsw))
+            val cy = math.max(0, math.min(y, lsh))
+            (cx, cy, math.max(0, math.min(x + w, lsw) - cx),
+              math.max(0, math.min(y + h, lsh) - cy))
+          }
           var prevDisposal = "none"
           var prevRect = (0, 0, 0, 0)
+          var prevSnapshot: Array[Int] = null
           var i = 0
           while (i < n) {
             val frame = reader.read(i)
@@ -355,10 +396,23 @@ object Multimodal {
               (e.getAttribute("imageLeftPosition").toInt,
                 e.getAttribute("imageTopPosition").toInt)).getOrElse((0, 0))
             // frame i-1's disposal applies BEFORE frame i draws
-            if (prevDisposal == "restoreToBackgroundColor") {
-              g.setColor(java.awt.Color.BLACK)
-              g.fillRect(prevRect._1, prevRect._2, prevRect._3, prevRect._4)
+            prevDisposal match {
+              case "restoreToBackgroundColor" =>
+                g.setColor(bgColor)
+                g.fillRect(prevRect._1, prevRect._2, prevRect._3, prevRect._4)
+              case "restoreToPrevious" if prevSnapshot != null =>
+                canvas.setRGB(prevRect._1, prevRect._2, prevRect._3,
+                  prevRect._4, prevSnapshot, 0, prevRect._3)
+              case _ => () // none / doNotDispose / reserved 4-7
             }
+            val disposal = elem(md, "GraphicControlExtension")
+              .map(_.getAttribute("disposalMethod")).getOrElse("none")
+            val rect = clamp(x, y, frame.getWidth, frame.getHeight)
+            val snapshot =
+              if (disposal == "restoreToPrevious" && rect._3 > 0 && rect._4 > 0)
+                canvas.getRGB(rect._1, rect._2, rect._3, rect._4,
+                  null, 0, rect._3)
+              else null
             g.drawImage(frame, x, y, null)
             if (i % stride == 0) {
               val luma = new Array[Byte](lsw * lsh)
@@ -377,9 +431,9 @@ object Multimodal {
               }
               out += ((i, lsw, lsh, luma))
             }
-            prevDisposal = elem(md, "GraphicControlExtension")
-              .map(_.getAttribute("disposalMethod")).getOrElse("none")
-            prevRect = (x, y, frame.getWidth, frame.getHeight)
+            prevDisposal = disposal
+            prevRect = rect
+            prevSnapshot = snapshot
             i += 1
           }
           out.result()

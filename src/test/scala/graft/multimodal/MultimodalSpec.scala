@@ -361,6 +361,67 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall { case (_, w, h, _) => w == 16 && h == 12 })
   }
 
+  test("GIF disposal: restoreToPrevious + restoreToBackgroundColor (declared bg)") {
+    // 16x12, identity gray palette. Frame plan and closed-form means:
+    //   f0 full 100, doNotDispose                     -> mean 100
+    //   f1 8x6 of 200 at (4,3), restoreToPrevious     -> (144*100+48*200)/192 = 125
+    //   f2 4x3 of 50 at (0,0), restoreToBackground    -> f1's rect was RESTORED
+    //        to 100s first: (180*100+12*50)/192 = 96.875
+    //   f3 2x2 of 10 at (10,10), none                 -> f2's rect filled with
+    //        the DECLARED background (index 255 = white on the identity
+    //        palette): (176*100+12*255+4*10)/192 = 107.8125
+    val buf = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(buf)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    def gray(w: Int, h: Int, v: Int) = {
+      val ramp = Array.tabulate(256)(_.toByte)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED,
+        new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp))
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(v, v, v)); g.fillRect(0, 0, w, h); g.dispose()
+      img
+    }
+    def write(img: java.awt.image.BufferedImage, x: Int, y: Int,
+        disposal: String): Unit = {
+      val md = writer.getDefaultImageMetadata(
+        new javax.imageio.ImageTypeSpecifier(img), writer.getDefaultWriteParam)
+      val fmt = "javax_imageio_gif_image_1.0"
+      val tree = md.getAsTree(fmt).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      val desc = tree.getElementsByTagName("ImageDescriptor").item(0)
+        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      desc.setAttribute("imageLeftPosition", x.toString)
+      desc.setAttribute("imageTopPosition", y.toString)
+      // the JDK writer's interlaced encoding corrupts rows of 2-3-row
+      // frames on round-trip (observed: middle row decodes as palette 0);
+      // the fixture must test disposal, not that writer bug
+      desc.setAttribute("interlaceFlag", "FALSE")
+      val gce = tree.getElementsByTagName("GraphicControlExtension").item(0)
+        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      gce.setAttribute("disposalMethod", disposal)
+      md.setFromTree(fmt, tree)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, md), null)
+    }
+    write(gray(16, 12, 100), 0, 0, "doNotDispose")
+    write(gray(8, 6, 200), 4, 3, "restoreToPrevious")
+    write(gray(4, 3, 50), 0, 0, "restoreToBackgroundColor")
+    write(gray(2, 2, 10), 10, 10, "none")
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    val bytes = buf.toByteArray
+    // declare background color index 255 (white): GIF logical screen
+    // descriptor byte 11 is backgroundColorIndex; bit 7 of byte 10 says a
+    // global color table follows (the identity palette)
+    assert((bytes(10) & 0x80) != 0, "writer wrote no global color table")
+    bytes(11) = -1 // 0xff
+    val frames = JdkCodec.gifLumaFrames(bytes, stride = 1)
+    val means = frames.map { case (_, _, _, l) =>
+      l.map(_ & 0xff).sum.toDouble / l.length
+    }
+    assert(means === Seq(100.0, 125.0, 96.875, 107.8125))
+  }
+
   test("q89 golden query matches its closed-form oracle values in-suite") {
     val got = MultimodalQueries.q89VideoSceneCuts(spark, "unused")
       .collect().map(r => (r.getLong(0),
