@@ -25,9 +25,23 @@ object CoreQueries {
   /** Exact decimal sum of a double column, surfaced as DOUBLE.
     * Decimal addition is associative ⇒ shuffle/merge order cannot change the
     * result, unlike naive double sums. (SURVEY §2.4 A1/A3 oracle parity.)
+    *
+    * Input precision is a per-column CONTRACT, and it is a 2× CPU lever:
+    * Spark's sum buffer is decimal(prec+10, scale), and a buffer at
+    * precision ≤ 18 stays long-backed in codegen while anything wider
+    * drops to BigDecimal arithmetic (measured on q01: the old blanket
+    * decimal(28,4) casts cost 1.21 s vs 0.69 s with (8,2) inputs — the
+    * decimal ops, not the scan, dominated the whole query). The default
+    * (8,2) fits every money/measure column in this schema (2-decimal
+    * values, |v| < 10^6: quantities ≤ 50, prices ≤ 5·10^5, balances
+    * ≤ 10^4) with a (18,2) buffer good to ~10^16 cents — overflow only
+    * past ~10^11 max-value rows, and a deployment summing beyond that
+    * widens `prec` here (Spark then nulls an overflowed sum rather than
+    * wrapping, so the failure mode is loud in oracle checks, not silent
+    * corruption).
     */
-  private def dsum(colName: String, scale: Int = 4) =
-    sum(col(colName).cast(s"decimal(28,$scale)")).cast("double")
+  private def dsum(colName: String, prec: Int = 8, scale: Int = 2) =
+    sum(col(colName).cast(s"decimal($prec,$scale)")).cast("double")
 
   // ---------------------------------------------------------------------------
   // q01 — GROUP BY + multi-aggregate (A3): per-flag/status rollup of lineitem.
@@ -42,13 +56,18 @@ object CoreQueries {
         // rounded 2dp: the engines' double->decimal input casts differ on
         // rare shortest-repr boundary rows (Spark casts via the shortest
         // decimal repr, DuckDB rounds the binary value), drifting the exact
-        // decimal sums ~1e-6 at 600k rows
-        round(sum((col("l_extendedprice").cast("decimal(18,4)") *
-          (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(8,4)")))
+        // decimal sums ~1e-6 at 600k rows. Input widths (8,2)/(4,2) per the
+        // dsum contract (2-decimal data); the product is (14,4).
+        round(sum((col("l_extendedprice").cast("decimal(8,2)") *
+          (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
         ).cast("double"), 2).as("sum_disc_price"),
         min("l_shipdate").as("min_ship"),
         max("l_shipdate").as("max_ship"))
-      .orderBy("l_returnflag", "l_linestatus")
+      // total order over a ≤6-value domain (3 returnflags × 2 linestati):
+      // the limit is physically unreachable but lets Catalyst plan
+      // TakeOrderedAndProject — one pass, no range-partitioning sample
+      // stage (~0.15 s of pure fixed cost on a 6-row sort under AQE)
+      .orderBy("l_returnflag", "l_linestatus").limit(100)
   }
   val q01Sql: String =
     """SELECT l_returnflag, l_linestatus,
@@ -224,8 +243,8 @@ object CoreQueries {
       .agg(
         sum(when(col("l_discount") > 0.05, 1).otherwise(0)).as("n_discounted"),
         sum(when(col("l_discount") <= 0.05, 1).otherwise(0)).as("n_full_price"),
-        sum(when(col("l_tax") > 0.04, col("l_quantity").cast("decimal(28,4)")))
-          .cast("double").as("taxed_qty"))
+        sum(when(col("l_tax") > 0.04, col("l_quantity").cast("decimal(8,2)")))
+          .cast("double").as("taxed_qty")) // (8,2) per the dsum contract
       .orderBy("l_linestatus")
   val q12Sql: String =
     """SELECT l_linestatus,

@@ -116,7 +116,9 @@ object EventQueries {
       .groupBy(to_date(col("ts")).as("day"))
       .agg(countDistinct(col("user_id")).as("dau"),
         count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
+        // (8,2): events.value is 2-decimal, < 10^3 (CoreQueries.dsum
+        // contract — the long-backed (18,2) buffer is the 2x CPU lever)
+        sum(col("value").cast("decimal(8,2)")).cast("double").as("sum_value"))
       .orderBy("day")
   val q29Sql: String =
     """SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS dau,
