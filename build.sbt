@@ -39,4 +39,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // Extra forked-JVM flags, space-separated (e.g. "-Xms24g
+  // -XX:+AlwaysPreTouch" to pin the heap: G1 uncommits regions after the
+  // bench harness's per-query System.gc(), and on this virtualized box
+  // re-faulting those pages showed up as 20-30x kernel-time storms inside
+  // timed reps — see SCALING.md round-14 "machine-noise episodes")
+  sys.env.get("SPARK_GRAFT_JVM_EXTRA").toSeq.flatMap(_.split("\\s+").toSeq)

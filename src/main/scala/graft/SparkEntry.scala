@@ -27,7 +27,9 @@ object SparkEntry {
     (similarity.QuantizedAnn.queries, similarity.QuantizedAnn.oracles),
     (similarity.ProductQuantization.queries, similarity.ProductQuantization.oracles),
     (similarity.IvfPq.queries, similarity.IvfPq.oracles),
-    (multimodal.MultimodalQueries.queries, multimodal.MultimodalQueries.oracles))
+    (multimodal.MultimodalQueries.queries, multimodal.MultimodalQueries.oracles),
+    (multimodal.Mp4Demux.queries, multimodal.Mp4Demux.oracles),
+    (multimodal.WebmDemux.queries, multimodal.WebmDemux.oracles))
 
   /** Flagship: the reference's richest single query — `get_tick_features`
     * (`src/services/event_store/duckdb.py:408-458`) — LAG delta, pct change

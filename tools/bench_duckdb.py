@@ -24,13 +24,24 @@ def main(sf_dir, out_dir, skip=()):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     times = {}
+    # min-of-reps (default 2, env DUCK_REPS): the r14 box shows intermittent
+    # kernel-time storms inflating single passes — same statistic as the
+    # Spark leg (enginecmp_merge). A first pass over 30 s is not repeated
+    # (the storm amplitude is irrelevant at that magnitude).
+    reps = int(os.environ.get("DUCK_REPS", "2"))
     for name in sorted(oracle):
         if any(name.startswith(s) for s in skip):
             continue
-        t0 = time.time()
         try:
-            con.execute(oracle[name]).fetchall()
-            times[name] = round(time.time() - t0, 3)
+            best = None
+            for r in range(reps):
+                t0 = time.time()
+                con.execute(oracle[name]).fetchall()
+                sec = time.time() - t0
+                best = sec if best is None else min(best, sec)
+                if sec > 30:
+                    break
+            times[name] = round(best, 3)
         except Exception as e:
             times[name] = None
             print(f"{name}: FAILED {e}", file=sys.stderr)

@@ -30,9 +30,13 @@ HASH_FAMILY = {
 
 
 def spark_times(path):
+    # min-of-reps, not median: the r14 box shows intermittent kernel-time
+    # storms (SCALING.md "machine-noise episodes") that inflate individual
+    # reps 3-30x; for deterministic work the min approximates the
+    # uncontended cost. The DuckDB leg uses the same statistic.
     d = json.load(open(path))
-    return {name: q["sec"] for name, q in d["detail"].items()
-            if q.get("err") in (None, "null") and q["sec"] >= 0}
+    return {name: min(q["reps"]) for name, q in d["detail"].items()
+            if q.get("err") in (None, "null") and q["sec"] >= 0 and q["reps"]}
 
 
 def duck_times(path):

@@ -15,17 +15,18 @@ import sys
 FAMILIES = {
     "core": ["q01", "q02", "q03", "q04", "q05", "q06", "q07", "q08", "q09",
              "q10", "q11", "q12", "q13", "q14", "q15", "q16", "q17", "q18",
-             "q19", "q20"],
+             "q19", "q20", "q88"],
     "window": ["q21", "q22", "q23", "q24", "q25", "q46", "q50", "q52"],
     "events": ["q26", "q27", "q28", "q29", "q30", "q31", "q67", "q68",
                "q70", "q71"],
-    "text_quality": ["q32", "q33", "q34", "q37", "q60"],
+    "text_quality": ["q32", "q33", "q34", "q37", "q60", "q85"],
     "dedup_hash": ["q35", "q36", "q42", "q43", "q44", "q47", "q48", "q55",
                    "q63", "q77", "q78", "q81"],
-    "vectors": ["q40", "q41", "q49", "q51", "q69", "q73", "q74", "q76"],
-    "multimodal": ["q75", "q83", "q84"],
+    "vectors": ["q38", "q40", "q41", "q49", "q51", "q69", "q73", "q74",
+                "q76", "q87", "q90"],
+    "multimodal": ["q75", "q83", "q84", "q89", "q91"],
     "curation": ["q56", "q57", "q58", "q59", "q61", "q62", "q64", "q65",
-                 "q66", "q72", "q79", "q80", "q82"],
+                 "q66", "q72", "q79", "q80", "q82", "q86"],
     "domain": ["q45", "q53", "q54"],
 }
 
