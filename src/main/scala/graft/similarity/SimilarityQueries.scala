@@ -981,25 +981,55 @@ object SimilarityQueries {
     val signed = emb.select(col("vec_id"), col("embedding"),
       graft.functions.RandomHyperplaneSignature
         .rh_signature(s, "embedding", numPlanes).as("sig"))
-    val banded = signed.select(col("vec_id"), col("embedding"),
-      posexplode(array((0 until 4).map { b =>
+    // Every row carries ALL FOUR band keys (32 bytes) alongside its
+    // banded explode — the emit-once dedup below needs both endpoints'
+    // full key vectors at pair emission.
+    val banded = signed
+      .withColumn("bkeys", array((0 until 4).map { b =>
         shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask))
-      }: _*)).as(Seq("band", "bkey")))
+      }: _*))
+      .select(col("vec_id"), col("embedding"), col("bkeys"),
+        posexplode(col("bkeys")).as(Seq("band", "bkey")))
     // Buckets key on the collision-free composite band*2^bits + bkey (a
     // hash key would merge unrelated buckets and ADD candidates, drifting
     // from the generated oracle); semPairs' triangle grid bounds any hot
     // bucket's expansion per task exactly as it does for q74's clusters.
-    // A pair sharing several bands emits once per band with the SAME 6dp
-    // cosine, so the slim distinct below is the exact cross-band dedup
-    // bucketPairs used to do on the id pairs.
+    // chunkSize 2048 (not the old 256): grid shuffle volume per hot
+    // bucket is rows·(nchunks/2)·rowWidth per side, and the 100× replica
+    // corpus concentrates 15-20k rows into single band buckets
+    // (ProbeQ76Buckets: top bucket 20,085 rows, 2.9B true pairs) — 256
+    // put 12.8 GB through the grid exchange where 2048 puts 1.7 GB, and a
+    // 2048² cell is a ~2M-cosine task (CPU, not disk).
     val pairs = semPairs(banded.select(
       (col("band").cast("long") * lit(mask + 1) + col("bkey")).as("cid"),
-      col("vec_id"), col("embedding").as("v")), chunkSize = 256)
+      col("vec_id"),
+      struct(col("embedding").as("e"), col("bkeys").as("bk")).as("v")),
+      chunkSize = 2048)
+    // EMIT-ONCE cross-band dedup (replaces `.distinct()` on the pair
+    // relation — the r14 100× killer): a pair colliding in several bands
+    // emits only from the FIRST such band, decided locally at emission by
+    // comparing the carried key vectors positionally over the lower
+    // bands. The old distinct() was an EXCHANGE of every surviving pair —
+    // 2.9B rows at 100× (most pass the 0.35 bar on a near-dup-saturated
+    // corpus), ~60+ GB of shuffle that killed the board twice, and it
+    // shuffles the ANSWER, which grows quadratically in the degenerate
+    // corpus. Emit-once produces the identical pair SET with zero
+    // pair-relation shuffle: q76's aggregate tail now partial-aggregates
+    // map-side and exchanges 32 tiny partial rows, and q51's listing
+    // stays a straight pipeline into its sink. Oracle unchanged — the
+    // generated SQL's DISTINCT sees the same set.
+    val band = shiftright(col("cid"), bandBits).cast("int")
     pairs
-      .withColumn("cosine", cos6(s, "va", "vb"))
+      .withColumn("band", band)
+      .filter(not(exists(
+        zip_with(
+          slice(col("va.bk"), lit(1), col("band")),
+          slice(col("vb.bk"), lit(1), col("band")),
+          (x, y) => x === y),
+        p => p)))
+      .withColumn("cosine", cos6(s, "va.e", "vb.e"))
       .filter(col("cosine") >= 0.35)
       .select("id_a", "id_b", "cosine")
-      .distinct()
   }
 
   // ---------------------------------------------------------------------------
