@@ -45,4 +45,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // bench harness's per-query System.gc(), and on this virtualized box
   // re-faulting those pages showed up as 20-30x kernel-time storms inside
   // timed reps — see SCALING.md round-14 "machine-noise episodes")
-  sys.env.get("SPARK_GRAFT_JVM_EXTRA").toSeq.flatMap(_.split("\\s+").toSeq)
+  sys.env.get("SPARK_GRAFT_JVM_EXTRA").toSeq
+    .flatMap(_.split("\\s+").toSeq.filter(_.nonEmpty))

@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
   * EBML header (DocType), and the Segment tree actually needed for corpus
   * work — Info (TimestampScale, Duration), Tracks (TrackEntry: number,
   * type, CodecID, Video PixelWidth/PixelHeight, Audio SamplingFrequency),
-  * and Clusters (Timestamp + SimpleBlock: track VINT, signed 16-bit
-  * relative timestamp, flags, frame payload). That yields per-frame
+  * and Clusters (Timestamp + SimpleBlock/BlockGroup: track VINT, signed
+  * 16-bit relative timestamp, flags — with all three lacing modes (Xiph /
+  * EBML / fixed) split into their individual frames — plus RFC 8794
+  * unknown-size elements, which Chromium's MediaRecorder writes for
+  * Segment and every Cluster). That yields per-frame
   * (track, absolute timestamp, payload bytes) — frame selection and
   * byte-range stats with no codec, exactly the Mp4Demux contract. Codec
   * payload decode (V_VP9/A_OPUS bitstreams) stays behind the external
@@ -47,7 +50,7 @@ object WebmDemux {
   val DurationTicks = 240.0
 
   // --- EBML write side ---------------------------------------------------
-  private def cat(parts: Array[Byte]*): Array[Byte] = {
+  private[multimodal] def cat(parts: Array[Byte]*): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     parts.foreach(out.write)
     out.toByteArray
@@ -69,7 +72,7 @@ object WebmDemux {
     val marked = v | (1L << (7 * n))
     (1 to n).map(i => ((marked >> (8 * (n - i))) & 0xff).toByte).toArray
   }
-  private def elem(eid: Long, payload: Array[Byte]*): Array[Byte] = {
+  private[multimodal] def elem(eid: Long, payload: Array[Byte]*): Array[Byte] = {
     val p = cat(payload: _*)
     cat(id(eid), vint(p.length.toLong), p)
   }
@@ -78,18 +81,64 @@ object WebmDemux {
     while (n < 8 && v >= (1L << (8 * n))) n += 1
     (1 to n).map(i => ((v >> (8 * (n - i))) & 0xff).toByte).toArray
   }
-  private def uelem(eid: Long, v: Long): Array[Byte] = elem(eid, uintBytes(v))
-  private def selem(eid: Long, s: String): Array[Byte] =
+  private[multimodal] def uelem(eid: Long, v: Long): Array[Byte] = elem(eid, uintBytes(v))
+  private[multimodal] def selem(eid: Long, s: String): Array[Byte] =
     elem(eid, s.getBytes("US-ASCII"))
-  private def felem(eid: Long, v: Double): Array[Byte] = {
+  private[multimodal] def felem(eid: Long, v: Double): Array[Byte] = {
     val bits = java.lang.Float.floatToIntBits(v.toFloat).toLong & 0xffffffffL
     elem(eid, (1 to 4).map(i => ((bits >> (8 * (4 - i))) & 0xff).toByte).toArray)
   }
-  private def simpleBlock(track: Int, relTs: Int, payload: Array[Byte]) =
-    elem(0xA3L, cat(vint(track.toLong), // track number as VINT
+  private def blockHeader(track: Int, relTs: Int, flags: Int): Array[Byte] =
+    cat(vint(track.toLong), // track number as VINT
       Array(((relTs >> 8) & 0xff).toByte, (relTs & 0xff).toByte),
-      Array(0x80.toByte), // keyframe, no lacing
-      payload))
+      Array(flags.toByte))
+  private[multimodal] def simpleBlock(track: Int, relTs: Int, payload: Array[Byte]) =
+    elem(0xA3L, blockHeader(track, relTs, 0x80), payload) // keyframe, no lacing
+
+  // --- test-only writer variants (the spec builds laced, BlockGroup and
+  // Chromium-shaped unknown-size fixtures; the committed q92 fixture and
+  // its oracle never use these) --------------------------------------------
+  /** Element with the reserved 1-byte all-ones VINT size (unknown size). */
+  private[multimodal] def elemUnknownSize(eid: Long,
+      payload: Array[Byte]*): Array[Byte] = {
+    val p = cat(payload: _*)
+    cat(id(eid), Array(0xFF.toByte), p)
+  }
+  /** Xiph-laced SimpleBlock: size table is 255-runs + terminator bytes. */
+  private[multimodal] def simpleBlockXiph(track: Int, relTs: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    val table = frames.init.flatMap(f =>
+      Array.fill(f.length / 255)(0xFF.toByte) :+ (f.length % 255).toByte)
+    elem(0xA3L, blockHeader(track, relTs, 0x80 | 0x02),
+      Array((frames.size - 1).toByte), table.toArray, cat(frames: _*))
+  }
+  /** Fixed-laced SimpleBlock (all frames must be the same size). */
+  private[multimodal] def simpleBlockFixed(track: Int, relTs: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.map(_.length).distinct.size == 1)
+    elem(0xA3L, blockHeader(track, relTs, 0x80 | 0x04),
+      Array((frames.size - 1).toByte), cat(frames: _*))
+  }
+  /** 2-byte signed lace VINT: stored = delta + 2^13 − 1, 0x40 marker. */
+  private def svint2(delta: Int): Array[Byte] = {
+    val stored = delta + 8191
+    require(stored >= 0 && stored < (1 << 14) - 1, s"delta $delta out of range")
+    val marked = stored | (1 << 14)
+    Array(((marked >> 8) & 0xff).toByte, (marked & 0xff).toByte)
+  }
+  /** EBML-laced SimpleBlock: first size as a VINT, then signed deltas. */
+  private[multimodal] def simpleBlockEbml(track: Int, relTs: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    val sizes = frames.map(_.length)
+    val table = cat(vint(sizes.head.toLong) +:
+      (1 until frames.size - 1).map(i => svint2(sizes(i) - sizes(i - 1))): _*)
+    elem(0xA3L, blockHeader(track, relTs, 0x80 | 0x06),
+      Array((frames.size - 1).toByte), table, cat(frames: _*))
+  }
+  /** BlockGroup (0xA0) wrapping a single un-laced Block (0xA1). */
+  private[multimodal] def blockGroup(track: Int, relTs: Int,
+      payload: Array[Byte]): Array[Byte] =
+    elem(0xA0L, elem(0xA1L, blockHeader(track, relTs, 0x00), payload))
 
   def demoFixture(): Array[Byte] = {
     val header = elem(0x1A45DFA3L,
@@ -156,6 +205,46 @@ object WebmDemux {
     else if (len == 8) java.lang.Double.longBitsToDouble(readUint(b, p, 8))
     else 0.0
 
+  /** RFC 8794 reserves the all-ones VINT as "unknown size" (the element
+    * extends until a non-descendant element or the parent's end). Chromium's
+    * MediaRecorder — the Playwright recordings this module exists for —
+    * writes Segment AND every Cluster with a 1-byte 0xFF unknown size.
+    */
+  private def vintIsUnknown(v: Long, width: Int): Boolean =
+    v == (1L << (7 * width)) - 1
+
+  /** Segment-level element IDs: the first of these terminates an
+    * unknown-size Cluster (they are the only elements a muxer may emit
+    * after a Cluster inside a Segment, and none is a Cluster descendant).
+    */
+  private val SegmentLevelIds = Set(
+    0x1F43B675L /* Cluster */, 0x1549A966L /* Info */,
+    0x1654AE6BL /* Tracks */, 0x114D9B74L /* SeekHead */,
+    0x1C53BB6BL /* Cues */, 0x1043A770L /* Chapters */,
+    0x1941A469L /* Attachments */, 0x1254C367L /* Tags */)
+
+  /** End of an unknown-size Cluster whose payload starts at `start`: walk
+    * sibling-level child elements until a Segment-level ID (exclusive) or
+    * the parent's end. A malformed tail falls back to the parent's end —
+    * same stop-clean contract as [[children]].
+    */
+  private def clusterEnd(b: Array[Byte], start: Long, end: Long): Long = {
+    var p = start
+    try {
+      while (p < end) {
+        val (eid, idLen) = readId(b, p.toInt)
+        if (SegmentLevelIds(eid)) return p
+        val (sz, szLen) = readVint(b, (p + idLen).toInt)
+        if (vintIsUnknown(sz, szLen)) return end // nested unknown: stop clean
+        p += idLen + szLen + sz
+      }
+      math.min(p, end)
+    } catch {
+      case _: ArrayIndexOutOfBoundsException | _: IllegalArgumentException =>
+        end
+    }
+  }
+
   /** (elementId, payloadStart, payloadEnd) for children of [start, end). */
   private def children(b: Array[Byte], start: Long, end: Long)
       : Seq[(Long, Long, Long)] = {
@@ -166,7 +255,10 @@ object WebmDemux {
         val (eid, idLen) = readId(b, p.toInt)
         val (sz, szLen) = readVint(b, (p + idLen).toInt)
         val ps = p + idLen + szLen
-        val pe = ps + sz
+        val pe =
+          if (!vintIsUnknown(sz, szLen)) ps + sz
+          else if (eid == 0x1F43B675L) clusterEnd(b, ps, end)
+          else end // unknown size extends to the parent's end (RFC 8794)
         if (pe > end) return out.result() // truncated element: stop clean
         out += ((eid, ps, pe))
         p = pe
@@ -223,8 +315,70 @@ object WebmDemux {
     WebmInfo(docType, tsScale, dur, tracks)
   }
 
-  /** Every SimpleBlock across all Clusters: (track, absolute timestamp in
-    * ticks, payload size, absolute payload offset).
+  /** Frames of one (Simple)Block element [bs, be): track VINT, 2-byte
+    * signed relative timestamp, flags, optional lace table, frame
+    * payload(s). Lacing (flags bits 0x06): 00 none, 01 Xiph, 10 fixed,
+    * 11 EBML. A laced block carries multiple codec frames in one element;
+    * all share the block timestamp. Sizes are coded for frames 0..n−2
+    * (Xiph: 255-run + terminator byte; EBML: first size as a VINT, then
+    * signed-VINT deltas, stored = delta + 2^(7·width−1) − 1; fixed: equal
+    * split of the remainder); the last frame takes whatever bytes remain.
+    */
+  private def blockFrames(b: Array[Byte], bs: Long, be: Long,
+      base: Long): Seq[Block] = {
+    val (trk, tLen) = readVint(b, bs.toInt)
+    val rel = ((b((bs + tLen).toInt) & 0xff) << 8 |
+      (b((bs + tLen + 1).toInt) & 0xff)).toShort.toLong
+    val flags = b((bs + tLen + 2).toInt) & 0xff
+    val lacing = (flags >> 1) & 0x3
+    val ts = base + rel
+    var p = bs + tLen + 3 // rel ts (2) + flags (1)
+    if (lacing == 0) return Seq(Block(trk.toInt, ts, (be - p).toInt, p))
+    val nFrames = (b(p.toInt) & 0xff) + 1
+    p += 1
+    val sizes = new Array[Int](nFrames)
+    lacing match {
+      case 1 => // Xiph
+        for (i <- 0 until nFrames - 1) {
+          var sz = 0
+          while ((b(p.toInt) & 0xff) == 255) { sz += 255; p += 1 }
+          sz += b(p.toInt) & 0xff
+          p += 1
+          sizes(i) = sz
+        }
+      case 2 => // fixed: equal sizes derived from the remainder
+        val each = ((be - p) / nFrames).toInt
+        require(each.toLong * nFrames == be - p,
+          s"fixed lacing: ${be - p} bytes not divisible by $nFrames frames")
+        for (i <- 0 until nFrames - 1) sizes(i) = each
+      case 3 => // EBML
+        if (nFrames > 1) {
+          val (first, fLen) = readVint(b, p.toInt)
+          p += fLen
+          sizes(0) = first.toInt
+          for (i <- 1 until nFrames - 1) {
+            val (raw, dLen) = readVint(b, p.toInt)
+            p += dLen
+            sizes(i) = sizes(i - 1) + (raw - ((1L << (7 * dLen - 1)) - 1)).toInt
+          }
+        }
+    }
+    sizes(nFrames - 1) =
+      ((be - p) - sizes.view.take(nFrames - 1).map(_.toLong).sum).toInt
+    require(sizes(nFrames - 1) >= 0, s"lace size table overflows block at $bs")
+    val out = Seq.newBuilder[Block]
+    var off = p
+    for (i <- 0 until nFrames) {
+      out += Block(trk.toInt, ts, sizes(i), off)
+      off += sizes(i)
+    }
+    out.result()
+  }
+
+  /** Every frame across all Clusters: (track, absolute timestamp in ticks,
+    * frame size, absolute payload offset). Walks SimpleBlocks (0xA3) AND
+    * BlockGroup (0xA0) → Block (0xA1) — both block containers a muxer may
+    * emit — and splits laced blocks into their individual frames.
     */
   def blocks(b: Array[Byte]): Seq[Block] = {
     val top = children(b, 0L, b.length.toLong)
@@ -235,12 +389,13 @@ object WebmDemux {
         val c = children(b, cs, ce)
         val base = find(c, 0xE7L).map { case (ts, te) =>
           readUint(b, ts.toInt, (te - ts).toInt) }.getOrElse(0L)
-        c.filter(_._1 == 0xA3L).map { case (_, bs, be) =>
-          val (trk, tLen) = readVint(b, bs.toInt)
-          val rel = ((b((bs + tLen).toInt) & 0xff) << 8 |
-            (b((bs + tLen + 1).toInt) & 0xff)).toShort.toLong
-          val payloadOff = bs + tLen + 3 // rel ts (2) + flags (1)
-          Block(trk.toInt, base + rel, (be - payloadOff).toInt, payloadOff)
+        c.flatMap {
+          case (0xA3L, bs, be) => blockFrames(b, bs, be, base)
+          case (0xA0L, gs, ge) => // BlockGroup: nested Block(s) + metadata
+            children(b, gs, ge).filter(_._1 == 0xA1L).flatMap {
+              case (_, bs, be) => blockFrames(b, bs, be, base)
+            }
+          case _ => Nil
         }
     }
   }

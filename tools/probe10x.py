@@ -24,7 +24,7 @@ FAMILIES = {
                    "q63", "q77", "q78", "q81"],
     "vectors": ["q38", "q40", "q41", "q49", "q51", "q69", "q73", "q74",
                 "q76", "q87", "q90"],
-    "multimodal": ["q75", "q83", "q84", "q89", "q91"],
+    "multimodal": ["q75", "q83", "q84", "q89", "q91", "q92"],
     "curation": ["q56", "q57", "q58", "q59", "q61", "q62", "q64", "q65",
                  "q66", "q72", "q79", "q80", "q82", "q86"],
     "domain": ["q45", "q53", "q54"],
