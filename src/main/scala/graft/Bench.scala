@@ -124,7 +124,8 @@ object Bench {
     } + "\""
 
   final case class QResult(name: String, sec: Double, rows: Long,
-      err: Option[String], reps: Seq[Double], cpuReps: Seq[Double] = Nil)
+      err: Option[String], reps: Seq[Double], cpuReps: Seq[Double] = Nil,
+      shufMb: Seq[Double] = Nil, spillMb: Seq[Double] = Nil)
 
   /** Sums executor CPU nanoseconds across finished tasks. Wall-clock on a
     * shared host is hostage to the neighbors (the 100× probe watched
@@ -135,10 +136,20 @@ object Bench {
     */
   final class CpuTally extends org.apache.spark.scheduler.SparkListener {
     val ns = new java.util.concurrent.atomic.AtomicLong(0L)
+    // r15: shuffle-write + spill ride the same task-end events, so every
+    // sweep cell carries the plan-shape evidence (the q76 verification ask:
+    // "shuffle/spill bytes reported showing the pair-relation exchange is
+    // gone") instead of a separate probe run
+    val shufBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong(0L)
     override def onTaskEnd(
         te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
-      if (m != null) ns.addAndGet(m.executorCpuTime)
+      if (m != null) {
+        ns.addAndGet(m.executorCpuTime)
+        shufBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spillBytes.addAndGet(m.diskBytesSpilled)
+      }
     }
     /** Listener events arrive on a bus AFTER the action returns; the public
       * API has no drain hook, so poll until the counter stops moving. A
@@ -161,6 +172,10 @@ object Bench {
       }
       cur
     }
+    /** (shuffle-write bytes, disk-spill bytes) after [[settled]]'s poll —
+      * call settled() first so one quiet-bus wait covers all three tallies.
+      */
+    def shuffleSpill(): (Long, Long) = (shufBytes.get(), spillBytes.get())
   }
 
   /** Sums shuffle-write volume across finished tasks — the probe-side
@@ -381,9 +396,14 @@ object Bench {
         val nReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
         val timed = (1 to nReps).map { _ =>
           val cpu0 = tally.map(_.settled())
+          val ss0 = tally.map(_.shuffleSpill())
           val wall = time { materialize(fn(spark, sfDir)) }
           val cpu = tally.map(t => (t.settled() - cpu0.get) / 1e9)
-          (wall, cpu)
+          val ss = tally.map { t =>
+            val (sh, sp) = t.shuffleSpill()
+            ((sh - ss0.get._1) / 1048576.0, (sp - ss0.get._2) / 1048576.0)
+          }
+          (wall, cpu, ss)
         }
         val reps = timed.map(_._1)
         // Shuffle files of finished jobs are only deleted when
@@ -404,7 +424,8 @@ object Bench {
         // run least contaminated by the hypervisor neighbor — the statistic
         // every other r14 artifact (enginecmp, 100× board) already uses.
         QResult(name, reps.min, rows, None, reps,
-          timed.flatMap(_._2))
+          timed.flatMap(_._2), timed.flatMap(_._3.map(_._1)),
+          timed.flatMap(_._3.map(_._2)))
     }
   }
 
@@ -490,6 +511,12 @@ object Bench {
         ",\"reps\":" + r.reps.mkString("[", ",", "]") +
         ",\"cpu_reps\":" +
         r.cpuReps.map(c => math.round(c * 1000.0) / 1000.0)
+          .mkString("[", ",", "]") +
+        ",\"shuf_mb\":" +
+        r.shufMb.map(c => math.round(c * 100.0) / 100.0)
+          .mkString("[", ",", "]") +
+        ",\"spill_mb\":" +
+        r.spillMb.map(c => math.round(c * 100.0) / 100.0)
           .mkString("[", ",", "]") + "}"
     }.mkString("{", ",", "}")
     // rounded via math.round, NOT the f-interpolator: f"" formats with the

@@ -7,9 +7,10 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
-    // optional third arg: only run queries whose name contains the substring
-    // (builder-side iteration aid; the driver always passes two args)
-    val only = args.lift(2)
+    // optional third arg: comma-separated substrings — only run queries
+    // whose name contains one (builder-side iteration aid; the driver
+    // always passes two args)
+    val only = args.lift(2).map(_.split(",").map(_.trim).filter(_.nonEmpty))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false")
@@ -17,7 +18,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(name.contains) }
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

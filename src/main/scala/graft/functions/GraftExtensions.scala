@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TextShingles].getName, "text_shingles"),
       TextShingles.build))
     ext.injectFunction((
+      FunctionIdentifier("text_stats"),
+      new ExpressionInfo(classOf[TextStats].getName, "text_stats"),
+      TextStats.build))
+    ext.injectFunction((
       FunctionIdentifier("sliding_min"),
       new ExpressionInfo(classOf[SlidingMin].getName, "sliding_min"),
       SlidingMin.build))
@@ -53,6 +57,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("l2_sq"),
       new ExpressionInfo(classOf[L2Distance].getName, "l2_sq"),
       exprs => L2Distance(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("argmin_l2"),
+      new ExpressionInfo(classOf[ArgminL2].getName, "argmin_l2"),
+      ArgminL2.build))
     // bloom pair: builders shared with BloomFunctions.register so the two
     // registration paths cannot drift (r12 ADVICE)
     ext.injectFunction((

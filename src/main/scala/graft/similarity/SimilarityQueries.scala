@@ -722,34 +722,40 @@ object SimilarityQueries {
   private[graft] def kmK(n: Long): Int =
     math.min(math.max(KmKMin, math.ceil(math.sqrt(n.toDouble)).toInt), KmKMax)
 
-  // rounded 6dp BEFORE the argmin; native one-pass expression — the HOF
-  // form (aggregate over zip_with) ran interpreted and was the entire cost
-  // of the assignment stage (~3× the query, measured at sf0.1). Element
-  // order of the adds is identical, so results cannot move.
-  private def l2sq6(s: org.apache.spark.sql.SparkSession,
-      aCol: String, bCol: String): Column =
-    round(graft.functions.L2Distance.l2_sq(s, aCol, bCol), 6)
-
   /** The fitted Lloyd assignment (vec_id, cid, dist2, v) — shared by q69
     * (assignment report) and q74 (semantic dedup within clusters).
+    * `kOverride` is probe-only (ProbeQ74K's k ∝ N schedule); the query
+    * path always derives k from the corpus via [[kmK]].
     */
-  private def kmAssigned(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    val k = kmK(Tables.rowCount(s, d, "embeddings"))
+  private[graft] def kmAssigned(s: org.apache.spark.sql.SparkSession,
+      d: String, kOverride: Option[Int] = None): DataFrame = {
+    val k = kOverride.getOrElse(kmK(Tables.rowCount(s, d, "embeddings")))
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-    // argmin as a struct-min AGGREGATE, not a rank window: (dist2, cid) is
-    // unique per vector so the lexicographic min picks the same cell the
-    // row_number form would, but the aggregate map-side combines — each
-    // partition reduces its K candidate rows (with the 64-dim payload) to
-    // one per vector BEFORE any exchange, where the window form shuffles
-    // all K copies of every vector
-    def assign(cents: DataFrame): DataFrame =
-      emb.join(broadcast(cents))
-        .withColumn("dist2", l2sq6(s, "v", "cv"))
-        .groupBy("vec_id")
-        .agg(min(struct(col("dist2"), col("cid"), col("v"))).as("m"))
+    // assignment is ONE exchange-free codegen'd pass (r15): the K
+    // centroids ride a single broadcast row as (cids, flattened K·dims
+    // matrix) and `argmin_l2` picks each vector's (cid, 6dp-rounded dist2)
+    // inside the scan stage. The r14 relational form — broadcast join to
+    // N·K rows, then min(struct(dist2, cid, v)) — planned as Sort +
+    // SortAggregate (a struct-with-array buffer is not UnsafeRow-mutable)
+    // and pushed ~49 GB of vector-payload rows through per-partition
+    // sorts at the 100× board (199 s, wall exponent 1.32). Vectors now
+    // never leave their scan partition at any corpus size; the broadcast
+    // is K·dims·8 B ≤ 32 MB at the KmKMax cap.
+    def assign(cents: DataFrame): DataFrame = {
+      // two collect_lists in ONE aggregate over the same rows: Spark
+      // feeds both from the same input iterator, so ids and vectors stay
+      // index-aligned by construction
+      val centsRow = cents.agg(
+        collect_list(col("cid")).as("cids"),
+        flatten(collect_list(col("cv"))).as("cvs_flat"))
+      emb.crossJoin(broadcast(centsRow))
+        .select(col("vec_id"),
+          graft.functions.ArgminL2.argmin_l2(s, "v", "cids", "cvs_flat").as("m"),
+          col("v"))
         .select(col("vec_id"), col("m.cid").as("cid"),
-          col("m.dist2").as("dist2"), col("m.v").as("v"))
+          col("m.dist2").as("dist2"), col("v"))
+    }
     def update(assigned: DataFrame): DataFrame =
       assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
@@ -853,8 +859,17 @@ object SimilarityQueries {
       .unionByName(bigPairs)
   }
 
-  val q74SemanticDedup: Q = (s, d) => {
-    val a = kmAssigned(s, d).select(col("vec_id"), col("cid"), col("v"))
+  /** q74 body with a probe-only k override (see [[kmAssigned]]); also
+    * exposes the candidate-pair relation for ProbeQ74K's pair counts.
+    */
+  private[graft] def semCandidatePairs(s: org.apache.spark.sql.SparkSession,
+      d: String, kOverride: Option[Int] = None): DataFrame =
+    semPairs(kmAssigned(s, d, kOverride)
+      .select(col("cid"), col("vec_id"), col("v")))
+
+  private[graft] def semanticDedup(s: org.apache.spark.sql.SparkSession,
+      d: String, kOverride: Option[Int] = None): DataFrame = {
+    val a = kmAssigned(s, d, kOverride).select(col("vec_id"), col("cid"), col("v"))
     val dropped = semPairs(a.select(col("cid"), col("vec_id"), col("v")))
       .withColumn("cosine", cos6(s, "va", "vb"))
       .filter(col("cosine") >= SemDedupTheta)
@@ -865,6 +880,8 @@ object SimilarityQueries {
         coalesce(col("k"), lit(true)).as("kept"))
       .orderBy("vec_id")
   }
+
+  val q74SemanticDedup: Q = (s, d) => semanticDedup(s, d)
 
   // Oracle: the same unrolled iterations, generated per round so the CTE
   // chain cannot drift from KmIters/kmK.

@@ -23,15 +23,24 @@ object TextQueries {
   // subword count (greedy <=4-char alphanumeric chunks, punctuation as
   // single tokens — the shape of a merged-subword vocabulary; the regex is
   // deliberately dialect-portable between Java and DuckDB/RE2).
+  //
+  // Both q32 and q33 read their primitives from ONE native `text_stats`
+  // pass (functions/TextStats.scala) instead of the compositional
+  // size(regexp_extract_all(...)) / interpreted-HOF forms — the r14 100×
+  // board's two largest honest perf gaps (36.4 s / 109.6 s, cpu exponents
+  // 1.47/1.77). Semantics are pinned to the oracle SQL below, which still
+  // spells out the compositional definition — the native expression must
+  // (and does, bit-for-bit) agree with it.
   private val SubwordRe = "[A-Za-z0-9]{1,4}|[^A-Za-z0-9 ]"
   val q32TokenCount: Q = (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
-        size(toks).as("n_tokens"),
-        length(col("text")).as("text_len"),
-        size(array_distinct(toks)).as("n_unique_tokens"),
-        size(regexp_extract_all(col("text"), lit(SubwordRe), lit(0)))
-          .as("n_subword_tokens"))
+        graft.functions.TextStats.text_stats(s, "text").as("st"))
+      .select(col("doc_id"), col("lang"),
+        col("st.n_tokens").as("n_tokens"),
+        col("st.n_chars").as("text_len"),
+        col("st.n_unique_tokens").as("n_unique_tokens"),
+        col("st.n_subword_tokens").as("n_subword_tokens"))
       .orderBy("doc_id")
   val q32Sql: String =
     s"""SELECT doc_id, lang,
@@ -46,21 +55,23 @@ object TextQueries {
   // length — the length/punct/stopword heuristics of pretraining filters.
   // Ratios are single exact divisions of integers ⇒ bit-identical doubles.
   val q33Quality: Q = (s, d) => {
-    val nTok = size(toks)
-    val nStop = size(filter(toks, t => t.isin(stopwords: _*)))
-    val nUniq = size(array_distinct(toks))
+    val nTok = col("st.n_tokens")
+    val nChars = col("st.n_chars")
     Tables.documents(s, d)
       .select(col("doc_id"),
+        graft.functions.TextStats.text_stats(s, "text", stopwords).as("st"))
+      .select(col("doc_id"),
         nTok.as("n_tokens"),
-        (nStop.cast("double") / nTok.cast("double")).as("stopword_ratio"),
-        (nUniq.cast("double") / nTok.cast("double")).as("type_token_ratio"),
-        ((length(col("text")) - nTok + 1).cast("double") / nTok.cast("double"))
+        (col("st.n_stopword_tokens").cast("double") / nTok.cast("double"))
+          .as("stopword_ratio"),
+        (col("st.n_unique_tokens").cast("double") / nTok.cast("double"))
+          .as("type_token_ratio"),
+        ((nChars - nTok + 1).cast("double") / nTok.cast("double"))
           .as("mean_token_len"),
         // guarded: an empty document has length 0 (ANSI errors on /0;
         // DuckDB would IEEE-divide to NaN — NULL in both instead)
-        when(length(col("text")) > 0,
-          size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9 ]"), lit(0)))
-            .cast("double") / length(col("text")).cast("double"))
+        when(nChars > 0,
+          col("st.n_punct_chars").cast("double") / nChars.cast("double"))
           .as("punct_ratio"))
       .orderBy("doc_id")
   }
@@ -147,11 +158,15 @@ object TextQueries {
   // stopword evidence vs the labeled lang column. (The heuristic itself is
   // deliberately simple — the operator shape is "score per class, argmax".)
   val q37LangId: Q = (s, d) => {
-    val enHits = size(filter(toks, t => t.isin("the", "a", "of")))
+    val enHits = col("st.n_stopword_tokens")
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
+        graft.functions.TextStats
+          .text_stats(s, "text", Seq("the", "a", "of")).as("st"))
+      .select(col("doc_id"), col("lang"),
         enHits.as("en_stopword_hits"),
-        (enHits.cast("double") / size(toks).cast("double")).as("en_score"))
+        (enHits.cast("double") / col("st.n_tokens").cast("double"))
+          .as("en_score"))
       .orderBy("doc_id")
   }
   val q37Sql: String =
@@ -582,11 +597,14 @@ object TextQueries {
   val QualityMinTokens = 5
   val CurationSampleRate = 0.5
   val q59CurationPipeline: Q = (s, d) => {
-    val nTok = size(toks)
-    val nStop = size(filter(toks, t => t.isin(stopwords: _*)))
+    // one text_stats pass for the gate (same native kernel as q32/q33)
+    val st = graft.functions.TextStats.text_stats(s, "text", stopwords)
     val quality = Tables.documents(s, d)
-      .filter(nTok >= QualityMinTokens &&
-        nStop.cast("double") / nTok.cast("double") >= QualityMinStopwordRatio)
+      .withColumn("__st", st)
+      .filter(col("__st.n_tokens") >= QualityMinTokens &&
+        col("__st.n_stopword_tokens").cast("double")
+          / col("__st.n_tokens").cast("double") >= QualityMinStopwordRatio)
+      .drop("__st")
     val deduped = quality
       .groupBy(md5(col("text")).as("h"))
       .agg(min(struct(col("doc_id"), col("lang"), col("source"),
