@@ -998,15 +998,15 @@ object SimilarityQueries {
     val signed = emb.select(col("vec_id"), col("embedding"),
       graft.functions.RandomHyperplaneSignature
         .rh_signature(s, "embedding", numPlanes).as("sig"))
-    // Every row carries ALL FOUR band keys (32 bytes) alongside its
-    // banded explode — the emit-once dedup below needs both endpoints'
-    // full key vectors at pair emission.
+    // Every row carries its full signature long alongside its banded
+    // explode — the emit-once dedup below recovers any band's key from
+    // it by bit-slice, so the pair payload grows by 8 bytes, not a
+    // 4-element array.
     val banded = signed
-      .withColumn("bkeys", array((0 until 4).map { b =>
-        shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask))
-      }: _*))
-      .select(col("vec_id"), col("embedding"), col("bkeys"),
-        posexplode(col("bkeys")).as(Seq("band", "bkey")))
+      .select(col("vec_id"), col("embedding"), col("sig"),
+        posexplode(array((0 until 4).map { b =>
+          shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask))
+        }: _*)).as(Seq("band", "bkey")))
     // Buckets key on the collision-free composite band*2^bits + bkey (a
     // hash key would merge unrelated buckets and ADD candidates, drifting
     // from the generated oracle); semPairs' triangle grid bounds any hot
@@ -1020,30 +1020,42 @@ object SimilarityQueries {
     val pairs = semPairs(banded.select(
       (col("band").cast("long") * lit(mask + 1) + col("bkey")).as("cid"),
       col("vec_id"),
-      struct(col("embedding").as("e"), col("bkeys").as("bk")).as("v")),
+      struct(col("embedding").as("e"), col("sig").as("sg")).as("v")),
       chunkSize = 2048)
     // EMIT-ONCE cross-band dedup (replaces `.distinct()` on the pair
     // relation — the r14 100× killer): a pair colliding in several bands
     // emits only from the FIRST such band, decided locally at emission by
-    // comparing the carried key vectors positionally over the lower
-    // bands. The old distinct() was an EXCHANGE of every surviving pair —
-    // 2.9B rows at 100× (most pass the 0.35 bar on a near-dup-saturated
-    // corpus), ~60+ GB of shuffle that killed the board twice, and it
-    // shuffles the ANSWER, which grows quadratically in the degenerate
-    // corpus. Emit-once produces the identical pair SET with zero
-    // pair-relation shuffle: q76's aggregate tail now partial-aggregates
-    // map-side and exchanges 32 tiny partial rows, and q51's listing
-    // stays a straight pipeline into its sink. Oracle unchanged — the
-    // generated SQL's DISTINCT sees the same set.
+    // comparing the endpoints' lower-band keys, each recovered from the
+    // carried signature by bit-slice. The old distinct() was an EXCHANGE
+    // of every surviving pair — 2.9B rows at 100× (most pass the 0.35 bar
+    // on a near-dup-saturated corpus), ~60+ GB of shuffle that killed the
+    // board twice, and it shuffles the ANSWER, which grows quadratically
+    // in the degenerate corpus. Emit-once produces the identical pair SET
+    // with zero pair-relation shuffle: q76's aggregate tail now
+    // partial-aggregates map-side and exchanges 32 tiny partial rows, and
+    // q51's listing stays a straight pipeline into its sink. Oracle
+    // unchanged — the generated SQL's DISTINCT sees the same set.
+    //
+    // The predicate is pure shift/and/compare on two longs so it stays
+    // inside whole-stage codegen: the first cut of this dedup compared
+    // carried key ARRAYS via slice/zip_with/exists, and higher-order
+    // functions are CodegenFallback — billions of candidate pairs through
+    // an interpreted eval put 29/32 executor threads in ArrayExists.eval
+    // (r15 jstack) and made the 100× run ~10× slower than the cosine work
+    // itself.
+    def bandKey(side: String, b: Int) =
+      shiftright(col(s"$side.sg"), b * bandBits).bitwiseAND(lit(mask))
+    def noSharedBandBelow(b: Int) =
+      (0 until b).map(i => bandKey("va", i) =!= bandKey("vb", i))
+        .reduceOption(_ && _).getOrElse(lit(true))
     val band = shiftright(col("cid"), bandBits).cast("int")
     pairs
       .withColumn("band", band)
-      .filter(not(exists(
-        zip_with(
-          slice(col("va.bk"), lit(1), col("band")),
-          slice(col("vb.bk"), lit(1), col("band")),
-          (x, y) => x === y),
-        p => p)))
+      .filter(
+        when(col("band") === 0, lit(true))
+          .when(col("band") === 1, noSharedBandBelow(1))
+          .when(col("band") === 2, noSharedBandBelow(2))
+          .otherwise(noSharedBandBelow(3)))
       .withColumn("cosine", cos6(s, "va.e", "vb.e"))
       .filter(col("cosine") >= 0.35)
       .select("id_a", "id_b", "cosine")
