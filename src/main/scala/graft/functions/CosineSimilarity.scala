@@ -34,7 +34,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullable: Boolean = true
 
   private def elemOk(t: DataType): Boolean = t match {
-    case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) => true
+    case ArrayType(FloatType | DoubleType | IntegerType | LongType |
+      ByteType | ShortType, _) => true
     case _ => false
   }
 
@@ -51,6 +52,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
     case ArrayType(DoubleType, _) => a.getDouble(i)
     case ArrayType(IntegerType, _) => a.getInt(i).toDouble
     case ArrayType(LongType, _) => a.getLong(i).toDouble
+    // int8/int16 quantized vectors (q87's storage): products and norms of
+    // |x| <= 127 at 64 dims stay far below 2^53, so double accumulation
+    // is EXACT — bit-identical to the int64-sum formulation it replaces
+    case ArrayType(ByteType, _) => a.getByte(i).toDouble
+    case ArrayType(ShortType, _) => a.getShort(i).toDouble
     case _ => throw new IllegalStateException
   }
 

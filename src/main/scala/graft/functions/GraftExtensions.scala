@@ -61,6 +61,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("argmin_l2"),
       new ExpressionInfo(classOf[ArgminL2].getName, "argmin_l2"),
       ArgminL2.build))
+    ext.injectFunction((
+      FunctionIdentifier("int8_quantize"),
+      new ExpressionInfo(classOf[Int8Quantize].getName, "int8_quantize"),
+      Int8Quantize.build))
     // bloom pair: builders shared with BloomFunctions.register so the two
     // registration paths cannot drift (r12 ADVICE)
     ext.injectFunction((

@@ -18,10 +18,13 @@ import org.apache.spark.sql.functions._
   * before the final division), making the whole path oracle-checkable
   * cell-exact, unlike a float-dot approximation.
   *
-  * Everything is higher-order column expressions (transform / zip_with /
-  * aggregate) inside whole-stage codegen — no UDF, no custom expression
-  * needed: the fused loops Catalyst generates for int multiply-add are
-  * already the tight shape.
+  * Both halves run native codegen'd expressions: encoding is
+  * [[graft.functions.Int8Quantize]] (the compositional transform-lambda
+  * form re-evaluated the O(d) max|v| reduction per element — O(d²)
+  * interpreted evals per row, ~20 s of the r15 board's 27.6 s cell), and
+  * the per-pair score is the fused [[graft.functions.CosineSimilarity]]
+  * (the zip_with + aggregate chain was interpreted per candidate pair —
+  * higher-order functions are CodegenFallback, the q76-predicate lesson).
   *
   * Quality contract: int8 symmetric quantization perturbs each cosine by
   * O(1/127) relative; QuantizedAnnSpec measures recall@3 against q40's
@@ -32,21 +35,6 @@ import org.apache.spark.sql.functions._
   */
 object QuantizedAnn {
 
-  /** q_i = floor(v_i * 127 / max|v| + 0.5) as tinyint; the 1e-30 guard
-    * keeps an all-zero vector at qv = zeros instead of NaN.
-    */
-  private def quantize(emb: Column): Column = {
-    val m = greatest(array_max(transform(emb, x => abs(x.cast("double")))),
-      lit(1e-30))
-    transform(emb, x =>
-      floor(x.cast("double") * lit(127.0) / m + lit(0.5)).cast("tinyint"))
-  }
-
-  /** Σ q_i² as exact int64 (tinyint widened before the multiply — ANSI
-    * tinyint*tinyint would overflow at 128²).
-    */
-  private def qnorm(qv: Column): Column =
-    aggregate(qv, lit(0L), (acc, x) => acc + x.cast("long") * x.cast("long"))
 
   // ---------------------------------------------------------------------------
   // q87 — int8 brute-force cosine top-k: q40's query set (vec_id < 5, top 3
@@ -54,23 +42,25 @@ object QuantizedAnn {
   // Spark and DuckDB rank identical values identically (the q40 rule).
   val q87Int8Ann: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
-      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
-      .withColumn("qn", qnorm(col("qv")))
+      .select(col("vec_id"),
+        graft.functions.Int8Quantize.int8_quantize(s, "embedding").as("qv"))
     val q = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("qv").as("qa"), col("qn").as("na"))
+      .select(col("vec_id").as("qid"), col("qv").as("qa"))
     val cand = emb
-      .select(col("vec_id").as("nid"), col("qv").as("qb"), col("qn").as("nb"))
-    val dot = aggregate(
-      zip_with(col("qa"), col("qb"), (a, b) => a.cast("long") * b.cast("long")),
-      lit(0L), (acc, x) => acc + x)
+      .select(col("vec_id").as("nid"), col("qv").as("qb"))
+    // The per-pair score runs the native fused cosine (one codegen'd pass
+    // over the two int8 arrays — exact: every partial sum is an integer
+    // far below 2^53). The original zip_with + aggregate chain was
+    // interpreted per pair (higher-order functions are CodegenFallback —
+    // the q76-predicate lesson), and at the 100x board it made this
+    // 1M-pair brute force a 27.6 s cell with 1.6x parallelism; the int64
+    // qnorm columns it needed are gone with it (the fused pass computes
+    // norms in the same walk).
     val w = Window.partitionBy("qid").orderBy(desc("cosine_q"), asc("nid"))
     cand.join(broadcast(q), col("qid") =!= col("nid"))
-      .withColumn("dot", dot) // named column => codegen shares one evaluation
       .withColumn("cosine_q",
-        when(col("na") > 0 && col("nb") > 0,
-          round(col("dot").cast("double") /
-            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6))
-          .otherwise(lit(null).cast("double")))
+        round(graft.functions.CosineSimilarity
+          .cosine_similarity(s, "qa", "qb"), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select("qid", "rank", "nid", "cosine_q")
