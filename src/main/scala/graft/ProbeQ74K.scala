@@ -17,21 +17,55 @@ import org.apache.spark.sql.functions._
   * walls, so the k-schedule claim carries measured numbers. The demo
   * oracle stays k = √N; nothing here changes query semantics.
   *
-  * Usage: ProbeQ74K <baseDir> <dir10x> <dir100x> [reps=2]
-  * Emits one JSON line (BENCH_r15_q74k_probe.json).
+  * Usage: ProbeQ74K <baseDir> <dir|synth:N:dir>... (reps via
+  * SPARK_GRAFT_PROBE_REPS, default 2). Replica-ladder legs measure the
+  * schedules on the near-dup-saturated corpus (where variant families
+  * cap what ANY k schedule can flatten); synth legs (distinct vectors)
+  * isolate the schedule's own effect. Emits one JSON line
+  * (BENCH_r15_q74k_probe.json).
   */
 object ProbeQ74K {
 
+  /** `synth:N:dir` legs (the ProbeIvfPq convention): N DISTINCT
+    * hash-derived vectors, so pair volume reflects the k schedule instead
+    * of the replica corpus's ~100-member near-identical variant families
+    * (on those, Σ|cluster|² stays family-quadratic at ANY k — the first
+    * r15 run measured propN candidates at 431M vs sqrtN's 827M at 100×,
+    * a 1.9× trim where a non-degenerate corpus shows the linear flatten).
+    */
+  private def resolveDir(spark: org.apache.spark.sql.SparkSession,
+      dirArg: String): String =
+    if (dirArg.startsWith("synth:")) {
+      val Array(_, nStr, outDir) = dirArg.split(":", 3)
+      val path = s"$outDir/embeddings.parquet"
+      if (!new java.io.File(path).exists()) {
+        spark.range(nStr.toLong)
+          .select(col("id").as("vec_id"),
+            transform(sequence(lit(0), lit(63)), dIdx =>
+              (pmod(xxhash64(col("id") * 64 + dIdx), lit(1000000L))
+                .cast("double") / 500000.0 - 1.0).cast("float"))
+              .as("embedding"))
+          .write.mode("overwrite").parquet(path)
+      }
+      outDir
+    } else dirArg
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3, "usage: ProbeQ74K <baseDir> <dir10x> <dir100x> [reps]")
-    val baseDir = args(0)
-    val dirs = Seq("10x" -> args(1), "100x" -> args(2))
-    val reps = args.lift(3).map(_.toInt).getOrElse(2)
+    require(args.length >= 3,
+      "usage: ProbeQ74K <baseDir> <dir...|synth:N:dir...> [reps via SPARK_GRAFT_PROBE_REPS]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    val baseDir = resolveDir(spark, args(0))
+    val dirs = args.drop(1).toSeq.map { a =>
+      val d = resolveDir(spark, a)
+      val label = if (a.startsWith("synth:")) "synth:" + a.split(":")(1) else d.split("/").last
+      label -> d
+    }
+    val reps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "2").toInt
 
     val nBase = Tables.rowCount(spark, baseDir, "embeddings")
     val kBase = similarity.SimilarityQueries.kmK(nBase)
@@ -59,15 +93,25 @@ object ProbeQ74K {
       val kept = similarity.SimilarityQueries
         .semanticDedup(spark, dir, k)
         .filter(col("kept")).count()
+      // assign-only wall: the Lloyd fit + final assignment without the
+      // pair stage — k ∝ N makes the PAIR volume linear but the brute
+      // assign O(N·K·d) quadratic-in-N, so the honest artifact must show
+      // both legs of that trade (production escapes via ANN-assisted
+      // assignment — the ProbeIvfPq partitioned layout's exact structure)
+      def assignOnce(): Unit = similarity.SimilarityQueries
+        .kmAssigned(spark, dir, k)
+        .write.format("noop").mode("overwrite").save()
       def runOnce(): Unit = similarity.SimilarityQueries
         .semanticDedup(spark, dir, k)
         .write.format("noop").mode("overwrite").save()
-      runOnce() // warm (plan + codegen)
+      assignOnce(); runOnce() // warm (plan + codegen)
+      val assignWalls = (1 to reps).map(_ => time(assignOnce()))
       val walls = (1 to reps).map(_ => time(runOnce()))
       System.gc()
       s"""{"sf":"$label","schedule":"$schedule","n":$n,"k":$kUsed,""" +
         s""""mean_cluster":${r3(n.toDouble / kUsed)},""" +
         s""""candidate_pairs":$candPairs,"kept_rows":$kept,""" +
+        s""""assign_wall_min":${r3(assignWalls.min)},""" +
         s""""wall_reps":[${walls.map(r3).mkString(",")}],""" +
         s""""wall_min":${r3(walls.min)}}"""
     }
