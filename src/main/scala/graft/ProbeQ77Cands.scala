@@ -34,7 +34,10 @@ object ProbeQ77Cands {
           shiftleft(block(i), SimBlockWidths(j)).bitwiseOR(block(j))
         }: _*)).as(Seq("band", "bkey")))
       val row = banded.groupBy("band", "bkey").agg(count(lit(1)).as("k"))
-        .agg(sum(col("k") * (col("k") - 1) / 2).as("cand"),
+        // sum the even product in int64, halve once at the end (a per-row
+        // /2 is Spark double division -> the collect's getLong CCE'd);
+        // the double cast is exact far below 2^53 at these volumes
+        .agg((sum(col("k") * (col("k") - 1)) / 2).cast("long").as("cand"),
           max("k").as("max_bucket"), count(lit(1)).as("n_buckets"))
         .collect()(0)
       val n = Tables.rowCount(spark, d, "documents")
