@@ -38,7 +38,9 @@ object ProbeQ74K {
     if (dirArg.startsWith("synth:")) {
       val Array(_, nStr, outDir) = dirArg.split(":", 3)
       val path = s"$outDir/embeddings.parquet"
-      if (!new java.io.File(path).exists()) {
+      // _SUCCESS, not the bare directory: a crashed prior write leaves a
+      // partial directory that would otherwise be silently consumed
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
         spark.range(nStr.toLong)
           .select(col("id").as("vec_id"),
             transform(sequence(lit(0), lit(63)), dIdx =>
@@ -51,7 +53,7 @@ object ProbeQ74K {
     } else dirArg
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3,
+    require(args.length >= 2,
       "usage: ProbeQ74K <baseDir> <dir...|synth:N:dir...> [reps via SPARK_GRAFT_PROBE_REPS]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)

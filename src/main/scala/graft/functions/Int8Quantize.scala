@@ -29,7 +29,13 @@ import org.apache.spark.sql.types._
   * result is in [-127, 127] by construction. Null array → null; a null
   * ELEMENT → null result (the lambda form nulled the element, which then
   * nulled every downstream dot; nulling the vector keeps that contract
-  * visible at the encode step instead of deep in a pair score).
+  * visible at the encode step instead of deep in a pair score). A NaN
+  * element likewise → null result: the bit-for-bit claim above is for
+  * finite input — on NaN the compositional form diverges from itself
+  * across engines (Spark's array_max and DuckDB's list_max both treat
+  * NaN as the maximum, but `x * 127.0 / NaN` then casts differently), so
+  * the native path folds NaN into the same defined degenerate-input
+  * contract as null elements instead of emitting garbage bytes.
   */
 case class Int8Quantize(child: Expression) extends UnaryExpression {
 
@@ -60,6 +66,7 @@ case class Int8Quantize(child: Expression) extends UnaryExpression {
     while (i < n) {
       if (a.isNullAt(i)) return null
       val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      if (x.isNaN) return null // degenerate-input contract (see scaladoc)
       val ax = math.abs(x)
       if (ax > m) m = ax
       i += 1

@@ -55,6 +55,14 @@ class Int8QuantizeSpec extends SparkSpec {
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
+  test("NaN element -> null (degenerate-input contract, r15 ADVICE)") {
+    val df = spark.sql(
+      "SELECT int8_quantize(array(1.0d, CAST('NaN' AS double))) AS a, " +
+        "int8_quantize(array(float('NaN'))) AS b")
+    val r = df.collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("cosine over quantized arrays matches the exact int64 formulation") {
     // int8 products/norms are exact in double (<< 2^53), so the fused
     // cosine must equal dot/sqrt(na*nb) computed in int64 — per pair

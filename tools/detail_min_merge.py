@@ -35,8 +35,15 @@ def main(pa, pb, out, only_b=()):
             pick, prov[q] = vb, "B(only)"
         elif ok_a:
             pick, prov[q] = va, "A(only)"
+        elif q in only_b:
+            # only_b means session A measured a DIFFERENT binary/plan for
+            # this query: if B has no valid cell, an explicit error beats
+            # silently landing A's stale-plan measurement in the merge.
+            pick, prov[q] = {"err": f"only_b query has no valid session-B cell ({pb})",
+                             "reps": []}, "err(only_b_missing)"
         else:
-            pick, prov[q] = (va or vb), "err"
+            pick, prov[q] = (va or vb or {"err": "missing in both sessions",
+                                          "reps": []}), "err"
         merged[q] = dict(pick)
         if prov[q] in ("A", "B"):
             # keep BOTH sessions' reps visible for noise inspection
