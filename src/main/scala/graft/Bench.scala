@@ -461,6 +461,16 @@ object Bench {
       s.sparkContext.addSparkListener(tally)
       s
     }
+    // r15 verdict #5 (clean artifact tail): session teardown can log an
+    // ERROR-level RPC/netty stack trace (benign local-mode shutdown race)
+    // which lands in the driver's captured tail AHEAD of the contract
+    // line. Dropping the log level to OFF immediately before every stop
+    // keeps shutdown chatter out of the recorded artifact; each fresh
+    // session re-raises its own level to WARN.
+    def quietStop(s: SparkSession): Unit = {
+      try s.sparkContext.setLogLevel("OFF") catch { case _: Throwable => () }
+      s.stop()
+    }
     val tally = new CpuTally
     var spark = freshSession(tally)
 
@@ -485,7 +495,7 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results = picked.grouped(if (slice > 0) slice else Int.MaxValue)
       .toSeq.zipWithIndex.flatMap { case (grp, i) =>
-        if (i > 0) { spark.stop(); spark = freshSession(tally) }
+        if (i > 0) { quietStop(spark); spark = freshSession(tally) }
         grp.map { case (name, fn) => runQuery(spark, sfDir, name, fn, Some(tally)) }
       }
 
@@ -578,7 +588,7 @@ object Bench {
       if (sentinelNames.isEmpty || sys.env.get("SPARK_GRAFT_RECHECK").contains("0"))
         """{"skipped":true}"""
       else {
-        spark.stop(); spark = freshSession(tally)
+        quietStop(spark); spark = freshSession(tally)
         val rs = sentinelNames.map(n =>
           n -> runQuery(spark, sfDir, n, SparkEntry.queries(n), Some(tally)))
         val can = canaryCpu(spark)
@@ -611,7 +621,7 @@ object Bench {
     } catch { case _: java.io.IOException => () }
     // the contract line again, as the absolute last line of stdout (after
     // stop(), so no Spark shutdown chatter can land behind it)
-    spark.stop()
+    quietStop(spark)
     println(metricLine)
   }
 }

@@ -77,34 +77,43 @@ object ProbeQ74K {
     }
     def r3(x: Double) = math.round(x * 1000.0) / 1000.0
 
+    // SPARK_GRAFT_Q74_SCHEDULES selects a subset (comma-separated) — the
+    // brute propN fit is O(N·K·d) per assignment pass BY DESIGN, so upper
+    // ladder rungs run it selectively (the ANN leg is what scales there)
+    val schedules = sys.env.get("SPARK_GRAFT_Q74_SCHEDULES")
+      .map(_.split(",").toSeq)
+      .getOrElse(Seq("sqrtN", "propN", "propN_ann"))
     val legs = for {
       (label, dir) <- dirs
-      schedule <- Seq("sqrtN", "propN")
+      schedule <- schedules
     } yield {
       val n = Tables.rowCount(spark, dir, "embeddings")
       // propN: k grows with the corpus so mean cluster size stays at the
-      // base corpus's N₀/k₀ — the SemDeDup production sizing
+      // base corpus's N₀/k₀ — the SemDeDup production sizing.
+      // propN_ann (r16): same k schedule, but every Lloyd assignment pass
+      // is ANN-assisted (IvfArgminL2, nprobe=8) — the production answer
+      // to the O(N·K) brute assign leg this probe exposed in r15.
       val k = schedule match {
         case "sqrtN" => None // the query's own kmK(n)
         case _ => Some(math.max(kBase,
           math.round(n.toDouble / nBase * kBase).toInt))
       }
+      val ann = if (schedule == "propN_ann") Some(8) else None
       val kUsed = k.getOrElse(similarity.SimilarityQueries.kmK(n))
       val candPairs = similarity.SimilarityQueries
-        .semCandidatePairs(spark, dir, k).count()
+        .semCandidatePairs(spark, dir, k, ann).count()
       val kept = similarity.SimilarityQueries
-        .semanticDedup(spark, dir, k)
+        .semanticDedup(spark, dir, k, ann)
         .filter(col("kept")).count()
       // assign-only wall: the Lloyd fit + final assignment without the
       // pair stage — k ∝ N makes the PAIR volume linear but the brute
-      // assign O(N·K·d) quadratic-in-N, so the honest artifact must show
-      // both legs of that trade (production escapes via ANN-assisted
-      // assignment — the ProbeIvfPq partitioned layout's exact structure)
+      // assign O(N·K·d) quadratic-in-N; propN_ann measures the same leg
+      // with the two-level pruned search (O(√(K·nprobe)·d) per vector)
       def assignOnce(): Unit = similarity.SimilarityQueries
-        .kmAssigned(spark, dir, k)
+        .kmAssigned(spark, dir, k, ann)
         .write.format("noop").mode("overwrite").save()
       def runOnce(): Unit = similarity.SimilarityQueries
-        .semanticDedup(spark, dir, k)
+        .semanticDedup(spark, dir, k, ann)
         .write.format("noop").mode("overwrite").save()
       assignOnce(); runOnce() // warm (plan + codegen)
       val assignWalls = (1 to reps).map(_ => time(assignOnce()))
@@ -119,7 +128,7 @@ object ProbeQ74K {
     }
     println(s"""{"probe":"q74_production_k","base_n":$nBase,""" +
       s""""base_k":$kBase,"reps":$reps,""" +
-      s""""note":"sqrtN = the oracle-pinned demo schedule; propN = production k ∝ N (mean cluster pinned at base)",""" +
+      s""""note":"sqrtN = the oracle-pinned demo schedule; propN = production k ∝ N (mean cluster pinned at base); propN_ann = same k with IvfArgminL2 nprobe=8 ANN-assisted assignment",""" +
       s""""legs":[${legs.mkString(",")}]}""")
     spark.stop()
   }

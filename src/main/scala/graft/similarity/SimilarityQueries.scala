@@ -726,9 +726,25 @@ object SimilarityQueries {
     * (assignment report) and q74 (semantic dedup within clusters).
     * `kOverride` is probe-only (ProbeQ74K's k ∝ N schedule); the query
     * path always derives k from the corpus via [[kmK]].
+    *
+    * `annProbe` (r16, the production k ∝ N assign leg): when set, every
+    * assignment pass — Lloyd iterations AND the final one — searches only
+    * the `annProbe` coarse cells nearest each vector instead of all K
+    * centroids (functions.IvfArgminL2: the q38 IvfPq two-level layout
+    * with the CENTROIDS as the indexed corpus). Per-vector cost drops
+    * from O(K·d) to O(√(K·nprobe)·d) at the balanced coarse count
+    * C = ⌈√(K·nprobe)⌉ — the O(N·K) brute leg ProbeQ74K measured as the
+    * k ∝ N bottleneck becomes N^1.5 (honest asymptote; the measured
+    * ladder exponent lives in the probe artifact). Approximation enters
+    * ONLY through which cells are probed — within the probed union the
+    * argmin contract is bit-identical to argmin_l2 — so a vector can
+    * land in a near-nearest cluster, which Lloyd tolerates by design
+    * (same contract FAISS-based SemDeDup pipelines run in production).
+    * The demo/oracle path (annProbe = None) is untouched.
     */
   private[graft] def kmAssigned(s: org.apache.spark.sql.SparkSession,
-      d: String, kOverride: Option[Int] = None): DataFrame = {
+      d: String, kOverride: Option[Int] = None,
+      annProbe: Option[Int] = None): DataFrame = {
     val k = kOverride.getOrElse(kmK(Tables.rowCount(s, d, "embeddings")))
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
@@ -756,6 +772,54 @@ object SimilarityQueries {
         .select(col("vec_id"), col("m.cid").as("cid"),
           col("m.dist2").as("dist2"), col("v"))
     }
+    // ANN-assisted assignment (annProbe path): group the centroids into
+    // C = ⌈√(K·nprobe)⌉ coarse cells (coarse centers = the C smallest-cid
+    // centroids — deterministic, no extra fit; recall is nprobe's job),
+    // build the five-array IvfArgminL2 layout in ONE relational row (the
+    // HOF prefix-sum/flatten steps run interpreted but on a single row),
+    // and assign inside the scan stage exactly like the brute path —
+    // same single broadcast row, vectors never leave their partition.
+    def assignIvf(cents: DataFrame, nprobe: Int): DataFrame = {
+      val cCount = math.min(k,
+        math.max(1, math.ceil(math.sqrt(k.toDouble * nprobe)).toInt))
+      val coarseRow = cents.orderBy("cid").limit(cCount)
+        .agg(array_sort(collect_list(struct(col("cid"), col("cv")))).as("cs"))
+        .select(
+          transform(sequence(lit(0), size(col("cs")) - 1),
+            i => i.cast("int")).as("coarse_pos"),
+          flatten(transform(col("cs"), c => c("cv"))).as("coarse_flat"))
+      val perCent = cents.crossJoin(broadcast(coarseRow))
+        .select(col("cid"), col("cv"),
+          graft.functions.ArgminL2
+            .argmin_l2(s, "cv", "coarse_pos", "coarse_flat")
+            .getField("cid").as("cell"))
+      val layoutRow = perCent
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("cid"), col("cv")))).as("ms"))
+        .agg(array_sort(collect_list(struct(col("cell"), col("ms")))).as("gs"))
+        .crossJoin(coarseRow.select(col("coarse_flat")))
+        .select(struct(
+          transform(col("gs"), g => g("cell")).as("cells"),
+          aggregate(col("gs"), array(lit(0)),
+            (acc, g) => concat(acc, array(element_at(acc, -1) + size(g("ms")))))
+            .as("starts"),
+          flatten(transform(col("gs"), g => transform(g("ms"), m => m("cid"))))
+            .as("cids"),
+          flatten(transform(col("gs"),
+            g => flatten(transform(g("ms"), m => m("cv"))))).as("cvs_flat"),
+          col("coarse_flat")).as("layout"))
+      emb.crossJoin(broadcast(layoutRow))
+        .select(col("vec_id"),
+          graft.functions.IvfArgminL2
+            .ivf_argmin_l2(col("v"), col("layout"), nprobe).as("m"),
+          col("v"))
+        .select(col("vec_id"), col("m.cid").as("cid"),
+          col("m.dist2").as("dist2"), col("v"))
+    }
+    def assignPass(cents: DataFrame): DataFrame = annProbe match {
+      case Some(p) => assignIvf(cents, p)
+      case None => assign(cents)
+    }
     def update(assigned: DataFrame): DataFrame =
       assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
@@ -771,8 +835,8 @@ object SimilarityQueries {
     // convention): without it every round's plan embeds the full upstream
     // plan, so analysis/optimizer cost and lineage depth grow with KmIters —
     // at real iteration counts that, not the data, becomes the bottleneck
-    for (_ <- 1 to KmIters) cents = update(assign(cents)).localCheckpoint()
-    assign(cents)
+    for (_ <- 1 to KmIters) cents = update(assignPass(cents)).localCheckpoint()
+    assignPass(cents)
   }
 
   val q69Kmeans: Q = (s, d) =>
@@ -863,13 +927,16 @@ object SimilarityQueries {
     * exposes the candidate-pair relation for ProbeQ74K's pair counts.
     */
   private[graft] def semCandidatePairs(s: org.apache.spark.sql.SparkSession,
-      d: String, kOverride: Option[Int] = None): DataFrame =
-    semPairs(kmAssigned(s, d, kOverride)
+      d: String, kOverride: Option[Int] = None,
+      annProbe: Option[Int] = None): DataFrame =
+    semPairs(kmAssigned(s, d, kOverride, annProbe)
       .select(col("cid"), col("vec_id"), col("v")))
 
   private[graft] def semanticDedup(s: org.apache.spark.sql.SparkSession,
-      d: String, kOverride: Option[Int] = None): DataFrame = {
-    val a = kmAssigned(s, d, kOverride).select(col("vec_id"), col("cid"), col("v"))
+      d: String, kOverride: Option[Int] = None,
+      annProbe: Option[Int] = None): DataFrame = {
+    val a = kmAssigned(s, d, kOverride, annProbe)
+      .select(col("vec_id"), col("cid"), col("v"))
     val dropped = semPairs(a.select(col("cid"), col("vec_id"), col("v")))
       .withColumn("cosine", cos6(s, "va", "vb"))
       .filter(col("cosine") >= SemDedupTheta)
@@ -1060,6 +1127,91 @@ object SimilarityQueries {
       .filter(col("cosine") >= 0.35)
       .select("id_a", "id_b", "cosine")
   }
+
+  // ---------------------------------------------------------------------------
+  // q93 — the WIDE-signature scale rung over q76 (r15 verdict "What's
+  // missing #1"). q51/q76 pack 4 bands into ONE 64-bit rh_signature, which
+  // clamps the adaptive ~8-rows-per-bucket band width at 15 bits: past
+  // n ≈ 2¹⁵·8 ≈ 262k vectors the rule stops adapting, mean bucket
+  // occupancy grows linearly in N, and candidate volume picks up a
+  // birthday term ~N²/2¹⁶ on ANY corpus (ProbeQ77Cands measured exactly
+  // this on fixed-width SimHash bands). q93 runs the SAME pipeline —
+  // identical plane family, banding scheme, triangle grid, emit-once
+  // dedup, cosine bar — with each band key its own long
+  // (functions.RhBandKeys), so bandBits tracks log2(N/8) to 31 bits
+  // (n ≈ 2³¹·8 ≈ 17G vectors before THIS rung clamps). At oracle scale
+  // (sf0.01, bandBits = 8 for both) q93 ≡ q76 by construction — the
+  // q87-vs-q40 pattern: same answer, different storage layout, the wide
+  // one being the 100 TB path. ProbeRhWide measures the divergence past
+  // the knee (200k → 2M vectors: clamped candidates grow ~N², wide stay
+  // ~linear with flat bucket occupancy).
+
+  /** The q51 band-width rule WITHOUT the one-long clamp: 31-bit ceiling
+    * comes from keeping `band·2^bits + key` compositing and the oracle's
+    * `1::BIGINT << p` shift arithmetic comfortably inside signed 64-bit.
+    */
+  private[graft] def rhWideBandBits(n: Long): Int = math.min(31, math.max(8,
+    math.ceil(math.log(math.max(n / 8.0, 2.0)) / math.log(2.0)).toInt))
+
+  /** The semPairs input relation (cid, vec_id, v): every row carries its
+    * full band-key ARRAY alongside its banded explode, so the emit-once
+    * dedup recovers any band's key by `GetArrayItem` — a codegen'd
+    * primitive read (no HOFs; the r15 ArrayExists.eval lesson).
+    */
+  private[graft] def rhWideBanded(s: org.apache.spark.sql.SparkSession,
+      d: String, bandBits: Int): DataFrame = {
+    val mask = (1L << bandBits) - 1
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.RhBandKeys
+          .rh_band_keys(s, "embedding", bandBits, 4).as("sg"))
+      .select(col("vec_id"), col("embedding"), col("sg"),
+        posexplode(col("sg")).as(Seq("band", "bkey")))
+      .select(
+        (col("band").cast("long") * lit(mask + 1) + col("bkey")).as("cid"),
+        col("vec_id"),
+        struct(col("embedding").as("e"), col("sg").as("sg")).as("v"))
+  }
+
+  /** Emit-once-deduped candidate pairs (id_a, id_b, va, vb) under the
+    * wide layout — see q51Pairs for the full rationale of every step
+    * (adaptive width, composite bucket key, triangle grid, emit-once);
+    * only the key representation differs. `bandBitsOverride` is
+    * probe-only (ProbeRhWide's clamped-vs-wide comparison runs BOTH
+    * widths through this one pipeline so the measured difference is the
+    * band width, not the payload shape).
+    */
+  private[graft] def rhWideCandidates(s: org.apache.spark.sql.SparkSession,
+      d: String, bandBitsOverride: Option[Int] = None): DataFrame = {
+    val bandBits = bandBitsOverride.getOrElse(
+      rhWideBandBits(Tables.rowCount(s, d, "embeddings")))
+    val pairs = semPairs(rhWideBanded(s, d, bandBits), chunkSize = 2048)
+    def bandKey(side: String, b: Int) = col(s"$side.sg").getItem(b)
+    def noSharedBandBelow(b: Int) =
+      (0 until b).map(i => bandKey("va", i) =!= bandKey("vb", i))
+        .reduceOption(_ && _).getOrElse(lit(true))
+    val mask = (1L << bandBits) - 1
+    val band = shiftright(col("cid"), bandBits).cast("int")
+    pairs
+      .withColumn("band", band)
+      .filter(
+        when(col("band") === 0, lit(true))
+          .when(col("band") === 1, noSharedBandBelow(1))
+          .when(col("band") === 2, noSharedBandBelow(2))
+          .otherwise(noSharedBandBelow(3)))
+      .select(col("id_a"), col("id_b"), col("va"), col("vb"))
+  }
+
+  /** q93 — q76's aggregate tail over the wide-signature pipeline. */
+  val q93RhWideStats: Q = (s, d) =>
+    rhWideCandidates(s, d)
+      .withColumn("cosine", cos6(s, "va.e", "vb.e"))
+      .filter(col("cosine") >= 0.35)
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("cosine").cast("decimal(18,6)")).cast("double").as("sum_cos6"),
+        min("cosine").as("min_cosine"),
+        max("cosine").as("max_cosine"))
 
   // ---------------------------------------------------------------------------
   // Generated oracle SQL for the hash-valued family (q42/q43/q44/q48/q51).
@@ -1385,6 +1537,64 @@ object SimilarityQueries {
        |  max(cosine) AS max_cosine
        |FROM hits""".stripMargin
 
+  /** Like [[coefValuesSql]] but for every plane the WIDE band rule can
+    * reach (4 bands × 31 bits = 124 planes) — q93's coefficient table.
+    */
+  private def coefValuesWideSql: String =
+    (0 until 124).flatMap { p =>
+      (0 until 64).map { dim =>
+        s"($p,$dim,${graft.functions.RandomHyperplaneSignature.rademacher(p, dim).toInt})"
+      }
+    }.mkString(",")
+
+  // q93: q51's CTE chain with the band width UNCLAMPED to 31 bits and the
+  // band keys computed directly per (vec_id, band) group — `p // bandbits`
+  // is the band, `p % bandbits` the bit within it (integer `//`: DuckDB's
+  // `/` on integers yields DOUBLE). At sf0.01 bandbits = 8 for both rules,
+  // so q93's oracle result equals q76's — the rungs diverge only past the
+  // 262k-vector knee, which ProbeRhWide measures.
+  val q93Sql: String =
+    s"""WITH params AS (
+       |  SELECT CAST(least(31, greatest(8,
+       |    CAST(ceil(log2(greatest(count(*) / 8.0, 2.0))) AS INTEGER)))
+       |    AS INTEGER) AS bandbits
+       |  FROM embeddings),
+       |coef(p, d, c) AS (VALUES $coefValuesWideSql),
+       |dims AS (
+       |  SELECT vec_id, embedding, unnest(range(len(embedding))) AS d
+       |  FROM embeddings),
+       |comp AS (
+       |  SELECT vec_id, coef.p, CAST(embedding[dims.d+1] AS DOUBLE) * coef.c AS term
+       |  FROM dims JOIN coef ON coef.d = dims.d
+       |  WHERE coef.p < 4 * (SELECT bandbits FROM params)),
+       |acc AS (
+       |  SELECT vec_id, p, sum(term) AS dot FROM comp GROUP BY vec_id, p),
+       |bands AS (
+       |  SELECT vec_id,
+       |    CAST(p // (SELECT bandbits FROM params) AS INTEGER) AS b,
+       |    sum(CASE WHEN dot > 0
+       |      THEN (1::BIGINT << (p % (SELECT bandbits FROM params)))
+       |      ELSE 0 END) AS band_bits
+       |  FROM acc GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM bands x JOIN bands y
+       |    ON x.b = y.b AND x.band_bits = y.band_bits AND x.vec_id < y.vec_id),
+       |ver AS (
+       |  SELECT c.id_a, c.id_b,
+       |    round(${dotSql("a.embedding", "b.embedding")}
+       |      / (${normSql("a.embedding")} * ${normSql("b.embedding")}), 6) AS cosine
+       |  FROM cand c
+       |  JOIN embeddings a ON a.vec_id = c.id_a
+       |  JOIN embeddings b ON b.vec_id = c.id_b),
+       |hits AS (
+       |  SELECT id_a, id_b, cosine FROM ver WHERE cosine >= 0.35)
+       |SELECT count(*) AS n_pairs,
+       |  CAST(sum(CAST(cosine AS DECIMAL(18,6))) AS DOUBLE) AS sum_cos6,
+       |  min(cosine) AS min_cosine,
+       |  max(cosine) AS max_cosine
+       |FROM hits""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q40_cosine_topk" -> q40CosineTopK,
     "q41_cosine_pairs" -> q41CosinePairs,
@@ -1398,6 +1608,7 @@ object SimilarityQueries {
     "q49_ivf_ann" -> q49IvfAnn,
     "q51_rh_lsh_pairs" -> q51RhLshPairs,
     "q76_rh_lsh_stats" -> q76RhLshStats,
+    "q93_rh_wide_stats" -> q93RhWideStats,
     "q69_kmeans" -> q69Kmeans,
     "q74_semantic_dedup" -> q74SemanticDedup)
 
@@ -1414,6 +1625,7 @@ object SimilarityQueries {
     "q49_ivf_ann" -> q49Sql,
     "q51_rh_lsh_pairs" -> q51Sql,
     "q76_rh_lsh_stats" -> q76Sql,
+    "q93_rh_wide_stats" -> q93Sql,
     "q69_kmeans" -> q69Sql,
     "q74_semantic_dedup" -> q74Sql)
 }
