@@ -98,7 +98,11 @@ object ProbeQ74K {
         case _ => Some(math.max(kBase,
           math.round(n.toDouble / nBase * kBase).toInt))
       }
-      val ann = if (schedule == "propN_ann") Some(8) else None
+      // nprobe trades assignment fidelity for pruning (default 8;
+      // SPARK_GRAFT_Q74_NPROBE sweeps it — on a uniform synth corpus the
+      // coarse geometry is degenerate and kept-counts quantify the trade)
+      val nprobe = sys.env.getOrElse("SPARK_GRAFT_Q74_NPROBE", "8").toInt
+      val ann = if (schedule == "propN_ann") Some(nprobe) else None
       val kUsed = k.getOrElse(similarity.SimilarityQueries.kmK(n))
       val candPairs = similarity.SimilarityQueries
         .semCandidatePairs(spark, dir, k, ann).count()
@@ -121,6 +125,7 @@ object ProbeQ74K {
       System.gc()
       s"""{"sf":"$label","schedule":"$schedule","n":$n,"k":$kUsed,""" +
         s""""mean_cluster":${r3(n.toDouble / kUsed)},""" +
+        ann.map(p => s""""nprobe":$p,""").getOrElse("") +
         s""""candidate_pairs":$candPairs,"kept_rows":$kept,""" +
         s""""assign_wall_min":${r3(assignWalls.min)},""" +
         s""""wall_reps":[${walls.map(r3).mkString(",")}],""" +

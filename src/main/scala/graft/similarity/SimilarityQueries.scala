@@ -79,7 +79,15 @@ object SimilarityQueries {
       .select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
     val b = Tables.embeddings(s, d).filter(col("vec_id") < 100)
       .select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
-    a.join(b, col("id_a") < col("id_b"))
+    // broadcast: the b side is BOUNDED BY PREDICATE (< 100 rows at any
+    // corpus size), but Catalyst's size estimate scales with the table's
+    // file size, so past ~10× it flips this non-equi join to
+    // CartesianProduct — 40× the task CPU for identical output
+    // (BENCH_r16_planflip_probe.json: 19.9 vs 0.47 cpu-s at 100×). The
+    // hint declares the bound the stats can't see; it is scale-safe
+    // BECAUSE the bound is a predicate, not an observed size (contrast
+    // q04/q09, whose build sides grow with data and keep AQE's choice).
+    a.join(broadcast(b), col("id_a") < col("id_b"))
       .withColumn("cosine",
         cos6(s, "vec_a", "vec_b"))
       .filter(col("cosine") >= 0.35)
@@ -526,7 +534,10 @@ object SimilarityQueries {
         transform(col("shingles"), x => xxhash64(x)).as("shingles"))
     val a = sub.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
     val b = sub.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
-    a.join(b, col("id_a") < col("id_b"))
+    // broadcast: bounded-by-predicate side (doc_id < 150) — the q41
+    // rationale; without it the 100× rung flips to CartesianProduct
+    // (11.8 vs 0.40 cpu-s for identical output).
+    a.join(broadcast(b), col("id_a") < col("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", round(col("inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"), 6))

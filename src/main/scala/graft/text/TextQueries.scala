@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private[graft] val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
   /** Whitespace tokens of `text` (documents are single-space separated). */
   private def toks = split(col("text"), " ")
