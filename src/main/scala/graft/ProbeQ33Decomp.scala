@@ -66,6 +66,10 @@ object ProbeQ33Decomp {
       "full" -> (() => q33(spark, d)),
       "no_sort" -> (() => noSort()),
       "stats_only" -> (() => statsOnly()),
+      // range partitioning's sampling pass re-executes the child plan, so
+      // ORDER BY over computed stats runs text_stats twice; a checkpoint
+      // barrier materializes the small stats rows once and sorts those
+      "ckpt_then_sort" -> (() => noSort().localCheckpoint().orderBy("doc_id")),
       "q32_full" -> (() => q32(spark, d)))
 
     val cells = variants.map { case (name, mk) =>

@@ -32,6 +32,14 @@ object TextQueries {
   // spells out the compositional definition — the native expression must
   // (and does, bit-for-bit) agree with it.
   private val SubwordRe = "[A-Za-z0-9]{1,4}|[^A-Za-z0-9 ]"
+  // The ORDER BY tail of q32/q33 goes through a checkpoint barrier:
+  // range partitioning's SAMPLING pass re-executes the child plan, so
+  // sorting directly over the stats projection runs the text_stats scan
+  // TWICE (ProbeQ33Decomp at 10×: full 1.54 s vs stats-only 0.47 s vs
+  // checkpoint-then-sort 0.72 s — the sort tail was 65% of the wall and
+  // most of it was the re-executed scan). The barrier materializes the
+  // SMALL stats rows once (~50 B/doc — the documents themselves never
+  // re-read) and the sort samples those; linear and bounded at any scale.
   val q32TokenCount: Q = (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
@@ -41,6 +49,7 @@ object TextQueries {
         col("st.n_chars").as("text_len"),
         col("st.n_unique_tokens").as("n_unique_tokens"),
         col("st.n_subword_tokens").as("n_subword_tokens"))
+      .localCheckpoint()
       .orderBy("doc_id")
   val q32Sql: String =
     s"""SELECT doc_id, lang,
@@ -73,6 +82,7 @@ object TextQueries {
         when(nChars > 0,
           col("st.n_punct_chars").cast("double") / nChars.cast("double"))
           .as("punct_ratio"))
+      .localCheckpoint() // see q32: sort sampling re-executes the scan
       .orderBy("doc_id")
   }
   val q33Sql: String =
