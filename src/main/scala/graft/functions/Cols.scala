@@ -19,5 +19,11 @@ private[graft] object Cols {
   def expression(name: String): Expression =
     GraftColumnBridge.expression(org.apache.spark.sql.functions.col(name))
 
+  /** The expression under an arbitrary Column — for native-function
+    * helpers applied to DERIVED columns (hash64 of a substring, a lambda
+    * variable inside `transform`), not just named ones.
+    */
+  def expressionOf(c: Column): Expression = GraftColumnBridge.expression(c)
+
   def column(e: Expression): Column = GraftColumnBridge.column(e)
 }

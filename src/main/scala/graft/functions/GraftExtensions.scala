@@ -29,9 +29,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TextShingles].getName, "text_shingles"),
       TextShingles.build))
     ext.injectFunction((
+      FunctionIdentifier("text_shingle_hashes"),
+      new ExpressionInfo(classOf[TextShingleHashes].getName, "text_shingle_hashes"),
+      TextShingleHashes.build))
+    ext.injectFunction((
       FunctionIdentifier("text_stats"),
       new ExpressionInfo(classOf[TextStats].getName, "text_stats"),
       TextStats.build))
+    ext.injectFunction((
+      FunctionIdentifier("md5_prefix32"),
+      new ExpressionInfo(classOf[Md5Prefix32].getName, "md5_prefix32"),
+      exprs => Md5Prefix32(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("dsir_bucket_counts"),
+      new ExpressionInfo(classOf[DsirBucketCounts].getName, "dsir_bucket_counts"),
+      DsirBucketCounts.build))
+    ext.injectFunction((
+      FunctionIdentifier("bigram_hash_counts"),
+      new ExpressionInfo(classOf[BigramHashCounts].getName, "bigram_hash_counts"),
+      exprs => BigramHashCounts(exprs.head)))
     ext.injectFunction((
       FunctionIdentifier("sliding_min"),
       new ExpressionInfo(classOf[SlidingMin].getName, "sliding_min"),

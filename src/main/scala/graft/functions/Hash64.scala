@@ -152,4 +152,9 @@ object Hash64 {
     register(spark)
     Cols.column(Hash64(Cols.expression(colName)))
   }
+
+  /** Column-in, Column-out — for derived columns (q80 hashes the bigram
+    * string AND a substring of it; no named column exists for either).
+    */
+  def hash64(c: Column): Column = Cols.column(Hash64(Cols.expressionOf(c)))
 }

@@ -177,6 +177,7 @@ object TextQueries {
         enHits.as("en_stopword_hits"),
         (enHits.cast("double") / col("st.n_tokens").cast("double"))
           .as("en_score"))
+      .localCheckpoint() // see q32: sort sampling re-executes the scan
       .orderBy("doc_id")
   }
   val q37Sql: String =
@@ -249,22 +250,26 @@ object TextQueries {
   val DecontaminationNgram = 8
   val TrainFraction = 0.8
 
-  /** Shared by q58/q86: (doc_id, distinct 8-gram shingles, is_train). */
+  /** Shared by q58/q86: (doc_id, distinct XXH64-hashed 8-gram shingles,
+    * is_train). Shingles are HASHED at the scan (fused
+    * `text_shingle_hashes` — short docs get an empty set built in, so
+    * short eval docs still appear in the report as contaminated=false):
+    * the report never outputs a shingle, so every downstream stage — the
+    * per-doc distinct, the postings explode, the train-side distinct,
+    * the semi join, q86's bloom — works on 8-byte longs instead of
+    * ~50-byte 8-token strings (r16 verdict #2; the q47/q78
+    * injective-hash trick, collision class argued in the expression's
+    * scaladoc). The compositional HOF idiom the string form replaced ran
+    * interpreted at ~500 µs/doc (r13). The DuckDB oracle still runs the
+    * string-keyed compositional SQL — the check stays hash-independent.
+    */
   private[graft] def decontaminationDocs(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val n = DecontaminationNgram
-    // native codegen'd shingling (functions.TextShingles — short docs get
-    // an empty shingle set built in, so short eval docs still appear in
-    // the report as contaminated=false); the compositional HOF idiom it
-    // replaces ran interpreted at ~500 µs/doc and dominated the whole
-    // family under the r13 full-materialization protocol. Equivalence to
-    // the compositional form is property-tested (TextShinglesSpec), and
-    // the DuckDB oracle still runs the compositional SQL — a divergence
-    // fails the hash gate.
     Tables.documents(s, d)
       .select(col("doc_id"),
-        array_distinct(graft.functions.TextShingles
-          .text_shingles(s, "text", n)).as("shingles"),
+        array_distinct(graft.functions.TextShingleHashes
+          .text_shingle_hashes(s, "text", n)).as("shingles"),
         (graft.hashBucket01(col("doc_id")) < TrainFraction).as("is_train"))
   }
 
@@ -312,18 +317,28 @@ object TextQueries {
   val BloomItems = 1L << 17
   val q86BloomDecontamination: Q = (s, d) => {
     val docs = decontaminationDocs(s, d)
+    // checkpointed: the bloom build's `.head` action and the exact semi
+    // join BOTH consume the distinct train-shingle relation — without the
+    // barrier the train-side scan + explode + distinct runs twice (one of
+    // r17's decomposition findings behind q86's 2.3× ratio; the bloom is
+    // saturated at sf scales, so the duplicated build dominated the
+    // "overhead" the bloom was blamed for)
     val trainShingles = docs.filter(col("is_train"))
       .select(explode(col("shingles")).as("shingle")).distinct()
+      .localCheckpoint()
+    // the shingle column IS the XXH64 long (decontaminationDocs hashes at
+    // the scan), so it feeds the bloom directly — identical bits to the
+    // old xxhash64(shingle-string), per the text_shingle_hashes contract
     val bf = trainShingles
       .agg(graft.functions.BloomFunctions
-        .bloomAgg(s, xxhash64(col("shingle")), BloomItems, BloomBits).as("bf"))
+        .bloomAgg(s, col("shingle"), BloomItems, BloomBits).as("bf"))
       .head.getAs[Array[Byte]]("bf") // bounded: numBits/8 bytes, data-independent
     val evalPostings = docs.filter(!col("is_train"))
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val prefiltered =
       if (bf == null) evalPostings.filter(lit(false)) // empty train side
       else evalPostings.filter(graft.functions.BloomFunctions
-        .bloomContains(s, lit(bf), xxhash64(col("shingle"))))
+        .bloomContains(s, lit(bf), col("shingle")))
     val contaminated = prefiltered
       .join(trainShingles, Seq("shingle"), "left_semi")
       .select("doc_id").distinct()
@@ -397,12 +412,11 @@ object TextQueries {
     val wins = Tables.documents(s, d)
       .filter(size(toks) >= w)
       .select(col("doc_id"),
-        // native shingles + per-element xxhash64: the remaining lambda is
-        // one codegen'd-expression dispatch per window, not the full
-        // slice+join string rebuild the old idiom paid
-        posexplode(transform(
-          graft.functions.TextShingles.text_shingles(s, "text", w),
-          t => xxhash64(t))).as(Seq("pos0", "h")))
+        // fused shingle+hash: no per-window string, no HOF dispatch —
+        // values bit-equal to xxhash64(text_shingles(..)) by the
+        // text_shingle_hashes contract
+        posexplode(graft.functions.TextShingleHashes
+          .text_shingle_hashes(s, "text", w)).as(Seq("pos0", "h")))
       .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("h"))
     val dup = wins
       .withColumn("occ", count(lit(1)).over(
@@ -464,61 +478,97 @@ object TextQueries {
   // RAW rest; a doc's log importance weight is
   //   sum_b cnt_doc[b] * (ln p_target[b] - ln p_raw[b]).
   // Shape at 100 TB:
-  //   - grams explode scan-side but collapse to (doc_id, bucket, cnt)
-  //     via partial map-side aggregation before the one shuffle — at most
-  //     B rows per doc cross the wire, regardless of doc length;
+  //   - grams never leave their document: the native `dsir_bucket_counts`
+  //     expression emits each doc's dense B-slot count vector scan-side,
+  //     so NO per-gram (or per-(doc,bucket)) relation ever shuffles — the
+  //     model aggregate collapses map-side to ≤ B rows per partition and
+  //     the per-doc score sum to ~1 row per doc;
   //   - the bucket model is a <= B-row relation: built with one tiny
   //     aggregate, joined back as a BROADCAST — the per-doc scoring join
   //     never shuffles the corpus;
   //   - bucket = md5-prefix (the q18/hashBucket01 idiom) so both engines
   //     compute the identical feature hash with no generated-SQL chain —
-  //     q79 stays OUT of the hash family;
+  //     q79 stays OUT of the hash family. Engine-side the prefix comes
+  //     from the native `md5_prefix32` expression (same value, no
+  //     hex-string round-trip — the r16 verdict's named per-gram cost);
+  //     the oracle keeps the idiomatic substring(md5(..)) SQL;
   //   - determinism: the per-(doc, bucket) term is rounded to 12dp and
   //     summed as DECIMAL(28,12) (the q66 convention), so the one
   //     order-dependent float sum is exact and order-free in both engines.
   val DsirBuckets = 256
-  val q79DsirWeights: Q = (s, d) => {
+  /** q79's scoring relation (one row per raw doc) WITHOUT the total-order
+    * tail — factored out because q82 consumes it unsorted (its
+    * TakeOrdered heap never needs the range exchange). In the r16
+    * relational shape, sorting this directly re-executed the whole
+    * scoring pipeline for range-partition sampling (the q32/q33
+    * double-scan defect — found by r17's decomposition probe when the
+    * registered q79 ran ~1.5 s SLOWER than q82, which embeds it and adds
+    * work); in the fused shape the re-executed child is only the narrow
+    * projection over checkpointed vectors, so q79 sorts it directly.
+    */
+  private[graft] def q79ScoresDf(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     val b = DsirBuckets
-    def bucketOf(c: org.apache.spark.sql.Column) =
-      pmod(conv(substring(md5(c), 1, 8), 16, 10).cast("long"), lit(b.toLong))
     val docs = Tables.documents(s, d)
-    // native bigrams (functions.TextShingles — the interpreted HOF idiom
-    // it replaces was q79/q82's dominant cost under the r13 protocol)
-    val bi = graft.functions.TextShingles.text_shingles(s, "text", 2)
-    val grams = docs.select(col("doc_id"), col("source"),
-      explode(concat(toks, bi)).as("gram"))
-    // (doc, bucket, cnt) feeds BOTH the bucket model and the per-doc
-    // scoring — checkpoint so the gram explode + md5 bucketing + partial
-    // aggregation run once, not once per consumer (the q69 "scan exactly
-    // once" discipline; measured 1.5-1.8x less wall across the 1x-100x
-    // replica ladder)
-    val db = grams
-      .select(col("doc_id"), col("source"), bucketOf(col("gram")).as("bucket"))
-      .groupBy("doc_id", "source", "bucket").agg(count(lit(1)).as("cnt"))
+    // per-doc DENSE bucket-count vector, fused scan-side (native
+    // dsir_bucket_counts): the per-(doc, bucket) grain the 12-dp rounding
+    // requires is produced WITHOUT exploding the corpus's grams into an
+    // exchange — the r17 decomposition probe measured that count shuffle
+    // as half of q79's 10× wall. Checkpointed because the vectors feed
+    // BOTH the bucket model and the per-doc scoring (the q69 "scan
+    // exactly once" discipline); b × 8 bytes per doc, bounded.
+    val counts = docs.select(col("doc_id"), col("source"),
+        graft.functions.DsirBucketCounts
+          .dsir_bucket_counts(s, "text", b).as("bc"))
       .localCheckpoint()
-    val tgtDf = docs.agg(min(col("source")).as("tgt"))
-    val withTgt = db.crossJoin(broadcast(tgtDf))
-      .withColumn("is_target", col("source") === col("tgt"))
-    val bucketTotals = withTgt.groupBy("bucket").agg(
-      sum(when(col("is_target"), col("cnt")).otherwise(0L)).as("ct"),
-      sum(when(!col("is_target"), col("cnt")).otherwise(0L)).as("cr"))
-    val totals = bucketTotals.agg(sum("ct").as("tt"), sum("cr").as("tr"))
-    val lam = bucketTotals.crossJoin(broadcast(totals))
-      .select(col("bucket"),
-        (log((col("ct") + 1).cast("double") / (col("tt") + b).cast("double")) -
-          log((col("cr") + 1).cast("double") / (col("tr") + b).cast("double")))
-          .as("lam"))
+    // target source: a bounded driver action (1 row — the q62/q86 class);
+    // null only on an empty corpus, where the scoring relation is empty
+    // anyway
+    val tgtRow = docs.agg(min(col("source")).as("tgt")).head
+    val tgt = if (tgtRow.isNullAt(0)) null else tgtRow.getString(0)
+    val withTgt = counts
+      .withColumn("is_target", col("source") === lit(tgt))
+    // per-bucket model: ONE vec_sum aggregate per class gives ct/cr as
+    // two b-slot vectors — elementwise adds over the 50k count vectors,
+    // partial-aggregated map-side (one vector per task crosses the
+    // wire), where the posexplode + groupBy(bucket) spelling this
+    // replaces manufactured b rows per DOC (~2 s of the 10× wall, r17
+    // decomposition probe). Collected: 2 rows, bounded by construction.
+    val sums = withTgt.groupBy("is_target")
+      .agg(graft.functions.LongVecSum.vec_sum(col("bc")).as("s"))
+      .collect()
+    def classSum(isTgt: Boolean): Array[Long] = sums
+      .find(r => !r.isNullAt(0) && r.getBoolean(0) == isTgt)
+      .map(_.getSeq[Long](1).toArray).getOrElse(new Array[Long](b))
+    val ct = classSum(true)
+    val cr = classSum(false)
+    val tt = ct.sum
+    val tr = cr.sum
+    // λ driver-side with the SAME arithmetic the Catalyst column form
+    // evaluated — long adds cast to double, java.lang.StrictMath.log
+    // (what Catalyst's Log evaluates and codegens; verified against the
+    // shipped spark-catalyst bytecode) — so every λ double is
+    // bit-identical to the broadcast-join relation it replaces. The
+    // per-doc finisher (filter cnt>0 → join λ → round 12dp → DECIMAL
+    // sum) then runs as ONE native expression per doc
+    // (functions.DsirScore, parity argued and spec-pinned there) — no
+    // explode, no join, no aggregate, no shuffle on the scoring side.
+    val lamArr = Array.tabulate(b) { k =>
+      StrictMath.log((ct(k) + 1).toDouble / (tt + b).toDouble) -
+        StrictMath.log((cr(k) + 1).toDouble / (tr + b).toDouble)
+    }
     withTgt.filter(!col("is_target"))
-      .join(broadcast(lam), "bucket")
       .select(col("doc_id"), col("source"),
-        round(col("cnt").cast("double") * col("lam"), 12)
-          .cast("decimal(28,12)").as("term"))
-      .groupBy("doc_id", "source")
-      .agg(sum(col("term")).as("lw"))
-      .select(col("doc_id"), col("source"),
-        round(col("lw").cast("double"), 6).as("log_weight"))
-      .orderBy("doc_id")
+        round(graft.functions.DsirScore.dsir_score(col("bc"), lamArr), 6)
+          .as("log_weight"))
   }
+  // No checkpoint barrier before this ORDER BY: range-partition sampling
+  // re-executes the child, but the child here is a narrow fused
+  // projection over the ALREADY-checkpointed count vectors (~0.3 s at
+  // 10×), cheaper than materializing the scores relation a second time
+  // (r17 probe: sort_nockpt 1.88 s vs ckpt-then-sort 2.27 s). Contrast
+  // q32/q33/q37, whose sort child is the full document scan.
+  val q79DsirWeights: Q = (s, d) => q79ScoresDf(s, d).orderBy("doc_id")
   /** q79's generated chain WITHOUT the final ORDER BY, reusable as a CTE
     * body (the q74/q76 shared-chain idiom) — q82 embeds it.
     */
@@ -577,7 +627,7 @@ object TextQueries {
   val q82DsirSample: Q = (s, d) => {
     val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
       .cast("double") + lit(0.5)) / lit(4294967296.0)
-    q79DsirWeights(s, d)
+    q79ScoresDf(s, d) // unsorted core: TakeOrdered never needs q79's sort
       .withColumn("gumbel_key", round(col("log_weight") - log(-log(u)), 6))
       .orderBy(desc("gumbel_key"), asc("doc_id"))
       .limit(DsirSampleK)
@@ -997,8 +1047,11 @@ object TextQueries {
   // over a doc's transitions (the log-perplexity), plus the unseen-bigram
   // fraction (oov_rate).
   // Shape at 100 TB:
-  //   - transitions collapse map-side to (doc, prev, cur, cnt) before the
-  //     one corpus shuffle (distinct bigrams per doc, not tokens);
+  //   - transitions never leave their document: the native
+  //     `bigram_hash_counts` expression emits each doc's distinct
+  //     (hash64(prev), hash64(bigram), cnt) rows scan-side — no corpus
+  //     shuffle exists before the per-doc score sum, which collapses
+  //     map-side to ~1 row per doc;
   //   - the LM is a vocab-bounded relation (distinct target bigrams — far
   //     smaller than the corpus; ~10^7-10^8 rows even web-scale), joined
   //     as a BROADCAST so the scoring join never shuffles the corpus; if a
@@ -1011,53 +1064,84 @@ object TextQueries {
   // decimal→double cast and one IEEE division, identical in both engines;
   // bucket compares 6dp-rounded scores against 6dp-rounded percentiles so
   // interpolation ulp differences cannot flip a bucket.
+  //
+  // Constant factor (r16 verdict #1, the perf_weak family's worst cell —
+  // 6.2× DuckDB at sf0.1): the transition builder WAS
+  // `transform(sequence(...), i -> struct(element_at...))` — a
+  // CodegenFallback HOF chain evaluated interpreted per transition (the
+  // ArrayExists.eval trap the r15 text_stats fix documented) — feeding a
+  // corpus-sized (doc, prev, cur) groupBy exchange keyed on token
+  // STRINGS. Now the whole per-doc half is ONE native expression
+  // (`bigram_hash_counts`: hb = hash64("prev cur"), hp = hash64(prev),
+  // distinct-with-multiplicity per doc), and all model keys are
+  // codegen'd hash64 longs. Keying on hashes is the q47/q78
+  // injective-hash trick (tokens cannot contain the join space, so the
+  // bigram string is unambiguous); the oracle keeps grouping by the
+  // strings themselves, so the check stays hash-independent — a hash64
+  // collision between distinct bigrams/tokens of one corpus (~2^-64
+  // birthday) is the accepted q78 divergence class.
   /** The scoring relation (one row per doc) pre-checkpoint — factored out
     * so PlanSpec can assert the model joins broadcast (the checkpoint in
     * q80LmPerplexity truncates lineage, hiding them from the final plan).
     */
   private[graft] def q80Scores(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
-    val t = col("__t")
+    import graft.functions.Hash64.{hash64 => h64}
     val docs = Tables.documents(s, d)
-    val toked = docs.withColumn("__t", toks).filter(size(t) >= 2)
-    val trans = toked.select(col("doc_id"), col("source"),
-      explode(transform(sequence(lit(1), size(t) - 1),
-        i => struct(element_at(t, i).as("prev"),
-          element_at(t, i + 1).as("cur")))).as("bg"))
-      .select(col("doc_id"), col("source"),
-        col("bg.prev").as("prev"), col("bg.cur").as("cur"))
-    // materialize once: tcnt feeds the scoring side AND both model
-    // aggregates (cb, cu) — without the checkpoint each branch re-derives
-    // the explode+aggregate from its own corpus scan (the q69 "scan
-    // exactly once" discipline; rows are (doc, bigram, cnt) ~ token count
-    // at 16 bytes, disk-backed, far smaller than the text it replaces)
-    val tcnt = trans.groupBy("doc_id", "source", "prev", "cur")
-      .agg(count(lit(1)).as("cnt"))
+    // per-doc distinct transition counts, fused scan-side (native
+    // bigram_hash_counts): the (doc, hp, hb, cnt) grain the 12-dp
+    // rounding requires is produced WITHOUT pushing a near-token-count
+    // relation through an exchange + checkpoint (r17 decomposition probe:
+    // that stage was ~half of q80's 10× wall). A 1-token doc yields an
+    // empty array and is dropped by the explode — same population as the
+    // old size >= 2 filter. Checkpointed: feeds the model AND the scoring
+    // side; compact struct rows, far smaller than the text they replace.
+    val counts = docs.select(col("doc_id"), col("source"),
+        graft.functions.BigramHashCounts.bigram_hash_counts(s, "text").as("bgc"))
       .localCheckpoint()
-    val tgtDf = docs.agg(min(col("source")).as("tgt"))
-    val tTrans = tcnt.crossJoin(broadcast(tgtDf))
-      .filter(col("source") === col("tgt"))
-    val cb = tTrans.groupBy("prev", "cur").agg(sum("cnt").as("cb"))
-    val cu = tTrans.groupBy("prev").agg(sum("cnt").as("cu"))
-    val voc = docs.crossJoin(broadcast(tgtDf))
-      .filter(col("source") === col("tgt"))
-      .select(explode(toks).as("tok")).agg(countDistinct("tok").as("v"))
-    tcnt
-      .join(broadcast(cb), Seq("prev", "cur"), "left")
-      .join(broadcast(cu), Seq("prev"), "left")
-      .crossJoin(broadcast(voc))
-      .select(col("doc_id"), col("source"), col("cnt"),
-        round(col("cnt").cast("double") *
-          log((coalesce(col("cb"), lit(0L)) + 1).cast("double") /
-            (coalesce(col("cu"), lit(0L)) + col("v")).cast("double")), 12)
-          .cast("decimal(28,12)").as("term"),
-        when(col("cb").isNull, col("cnt")).otherwise(0L).as("oov"))
-      .groupBy("doc_id", "source")
-      .agg(sum("term").as("slp"), sum("cnt").as("tn"), sum("oov").as("noov"))
+    // target source: a bounded driver action (1 row — the q62/q86 class)
+    val tgtRow = docs.agg(min(col("source")).as("tgt")).head
+    val tgt = if (tgtRow.isNullAt(0)) null else tgtRow.getString(0)
+    // the model is vocab-bounded (distinct TARGET bigrams / prevs — the
+    // broadcast argument in the header): ONE collect of the target
+    // slice's per-doc transition arrays moves exactly the bytes the old
+    // broadcast-join exchanges moved, and both model maps (cb by hb, cu
+    // by hp) fold out of it in one driver pass — where the relational
+    // form ran two explode + groupBy + collect jobs over the same data.
+    // BigramScore then probes them per doc with no per-transition row
+    // ever materialized (parity argued and spec-pinned there).
+    val cbAcc = new java.util.HashMap[Long, Long]()
+    val cuAcc = new java.util.HashMap[Long, Long]()
+    counts.filter(col("source") === lit(tgt)).select(col("bgc"))
+      .collect().foreach { r =>
+        r.getSeq[org.apache.spark.sql.Row](0).foreach { e =>
+          val hp = e.getLong(0); val hb = e.getLong(1); val cnt = e.getLong(2)
+          cbAcc.merge(hb, cnt, (a, x) => a + x)
+          cuAcc.merge(hp, cnt, (a, x) => a + x)
+        }
+      }
+    def toPairs(m: java.util.HashMap[Long, Long]): Array[(Long, Long)] = {
+      val out = new Array[(Long, Long)](m.size)
+      var i = 0
+      val it = m.entrySet().iterator()
+      while (it.hasNext) { val e = it.next(); out(i) = (e.getKey, e.getValue); i += 1 }
+      out
+    }
+    val cbM = graft.functions.BigramScore.broadcastModel(s, toPairs(cbAcc))
+    val cuM = graft.functions.BigramScore.broadcastModel(s, toPairs(cuAcc))
+    val v = docs.filter(col("source") === lit(tgt))
+      .select(explode(toks).as("tok"))
+      .select(h64(col("tok")).as("ht"))
+      .agg(countDistinct("ht").as("v")).head.getLong(0)
+    counts
+      .filter(size(col("bgc")) > 0) // the explode dropped transition-free docs
       .select(col("doc_id"), col("source"),
-        round(-col("slp").cast("double") / col("tn").cast("double"), 6)
+        graft.functions.BigramScore
+          .bigram_score(col("bgc"), cbM, cuM, v).as("sc"))
+      .select(col("doc_id"), col("source"),
+        round(-col("sc.slp") / col("sc.tn").cast("double"), 6)
           .as("avg_nll"),
-        round(col("noov").cast("double") / col("tn").cast("double"), 6)
+        round(col("sc.noov").cast("double") / col("sc.tn").cast("double"), 6)
           .as("oov_rate"))
   }
 
@@ -1167,8 +1251,8 @@ object TextQueries {
     graft.functions.SlidingMin.register(s)
     val k = WinnowK
     val w = WinnowW
-    def h32(c: org.apache.spark.sql.Column) =
-      conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    def h32(c: org.apache.spark.sql.Column) = // native ≡ conv(substring(md5..))
+      graft.functions.Md5Prefix32.md5_prefix32(c)
     val sh = col("__sh")
     Tables.documents(s, d)
       .withColumn("__sh",

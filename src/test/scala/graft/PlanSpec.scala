@@ -189,21 +189,32 @@ class PlanSpec extends SparkSpec {
       s"q76 aggregates must map-side combine:\n${p.take(1500)}")
   }
 
-  test("q80: the LM scoring joins broadcast — the corpus never sort-merges") {
-    // the bigram model (cb/cu) and the 1-row vocab count are vocab-bounded
-    // relations; at 100 TB the corpus-side scoring join must consume them
-    // as broadcasts, never shuffle the (doc, bigram, cnt) relation into a
-    // sort-merge against the model. Asserted on the pre-checkpoint scores
-    // plan (q80Scores) because the query's localCheckpoint truncates
-    // lineage in the final plan.
+  test("q80: per-doc LM scoring is shuffle-free — the corpus never joins") {
+    // the bigram model is vocab-bounded and shipped as a broadcast
+    // variable probed inside the native bigram_score expression, so the
+    // scoring side must be a pure narrow pipeline over the checkpointed
+    // per-doc transition counts: no exchange, no join of any kind, no
+    // per-transition row (r17; the prior shape exploded the corpus into
+    // two broadcast joins and a hash aggregate).
     val p = text.TextQueries.q80Scores(spark, d)
       .queryExecution.sparkPlan.toString
-    assert(p.contains("BroadcastHashJoin"),
-      s"model joins must broadcast:\n${p.take(1500)}")
-    assert(!p.contains("SortMergeJoin"),
-      s"the corpus must never sort-merge against the LM:\n${p.take(1500)}")
-    assert(p.contains("partial_sum"),
-      s"per-doc term sums must map-side combine:\n${p.take(1500)}")
+    assert(p.contains("bigram_score"),
+      s"scoring must ride the native per-doc expression:\n${p.take(1500)}")
+    assert(!p.contains("Exchange"),
+      s"the scoring side must not shuffle:\n${p.take(1500)}")
+    assert(!p.contains("Join") && !p.contains("Generate"),
+      s"no join and no explode may touch the corpus side:\n${p.take(1500)}")
+  }
+
+  test("q79: per-doc DSIR scoring is shuffle-free over the fused counts") {
+    val p = text.TextQueries.q79ScoresDf(spark, d)
+      .queryExecution.sparkPlan.toString
+    assert(p.contains("dsir_score"),
+      s"scoring must ride the native per-doc expression:\n${p.take(1500)}")
+    assert(!p.contains("Exchange"),
+      s"the scoring side must not shuffle:\n${p.take(1500)}")
+    assert(!p.contains("Join") && !p.contains("Generate"),
+      s"no join and no explode may touch the corpus side:\n${p.take(1500)}")
   }
 
   test("q82: weighted sample plans as TakeOrderedAndProject — no global sort") {

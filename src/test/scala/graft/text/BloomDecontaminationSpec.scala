@@ -82,11 +82,17 @@ class BloomDecontaminationSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]) => f
     }
     assert(bloomFilters.nonEmpty, s"no bloom probe in plan:\n$plan")
-    for (f <- bloomFilters) {
+    for (f <- bloomFilters)
       assert(f.collectFirst { case e: ShuffleExchangeExec => e }.isEmpty,
         s"bloom probe must sit below the exchange, not above it:\n$f")
-      assert(f.collectFirst { case s: FileSourceScanExec => s }.nonEmpty,
-        s"bloom probe must be in the probe-side scan stage:\n$f")
-    }
+    // r17: the train side is checkpointed (one build feeds the bloom AND
+    // the semi join), and Catalyst's constraint inference copies the
+    // bloom predicate across the join key onto that ExistingRDD relation
+    // — harmless (an equal train shingle passes the same bloom). The
+    // operator's contract is that the PROBE side drops rows inside its
+    // parquet scan stage: at least one bloom filter must sit there.
+    assert(bloomFilters.exists(
+      _.collectFirst { case s: FileSourceScanExec => s }.nonEmpty),
+      s"the probe-side bloom filter must sit in the scan stage:\n$plan")
   }
 }
