@@ -450,7 +450,13 @@ object Bench {
         .config("spark.ui.retainedDeadExecutors", "5")
         .config("spark.sql.ui.retainedExecutions", "10")
         .getOrCreate()
-      s.sparkContext.setLogLevel("WARN")
+      // ERROR, not WARN (r16 verdict #6, third round on the list): the
+      // recorded artifact tail kept opening with mid-run WARN noise —
+      // streaming checkpoint/AQE warnings, large-task-binary warnings —
+      // ahead of the contract lines. The bench JVM's log is not a
+      // diagnostic surface (BENCH_detail.json is); only genuine errors
+      // may reach the captured tail.
+      s.sparkContext.setLogLevel("ERROR")
       s.range(1000000).selectExpr("sum(id)").collect()
       Tables.all.foreach { t =>
         try {
@@ -464,11 +470,19 @@ object Bench {
     // r15 verdict #5 (clean artifact tail): session teardown can log an
     // ERROR-level RPC/netty stack trace (benign local-mode shutdown race)
     // which lands in the driver's captured tail AHEAD of the contract
-    // line. Dropping the log level to OFF immediately before every stop
-    // keeps shutdown chatter out of the recorded artifact; each fresh
-    // session re-raises its own level to WARN.
+    // line. r16 ADVICE refinement: silence only the shutdown-race logger
+    // CATEGORIES (RPC/network/netty), not the root logger — a genuine
+    // teardown failure elsewhere still reaches the artifact — and swallow
+    // only NonFatal from the logger fiddling itself; s.stop() runs
+    // unwrapped.
     def quietStop(s: SparkSession): Unit = {
-      try s.sparkContext.setLogLevel("OFF") catch { case _: Throwable => () }
+      try {
+        import org.apache.logging.log4j.Level
+        import org.apache.logging.log4j.core.config.Configurator
+        Seq("org.apache.spark.rpc", "org.apache.spark.network", "io.netty",
+          "org.apache.spark.storage.BlockManagerMasterEndpoint")
+          .foreach(Configurator.setLevel(_, Level.OFF))
+      } catch { case scala.util.control.NonFatal(_) => () }
       s.stop()
     }
     val tally = new CpuTally

@@ -209,11 +209,16 @@ object ProbeMediaLadder {
       }
     }
 
+    // r16 ADVICE: with a single rung log(1)/log(1) = NaN, and a rounded
+    // NaN prints as 0.0 — which reads as FLAT scaling. One rung has no
+    // exponent; emit null so the artifact can't overclaim.
     val exps = cells.groupBy(_.stage).map { case (st, cs) =>
       val s = cs.sortBy(_.n)
-      val e = math.log(s.last.wallMin / s.head.wallMin) /
-        math.log(s.last.n.toDouble / s.head.n)
-      st -> r3(e)
+      val e =
+        if (s.size < 2 || s.last.n == s.head.n) None
+        else Some(r3(math.log(s.last.wallMin / s.head.wallMin) /
+          math.log(s.last.n.toDouble / s.head.n)))
+      st -> e
     }
     val cellsJson = cells.map { c =>
       s"""{"stage":"${c.stage}","n_files":${c.n},""" +
@@ -223,7 +228,8 @@ object ProbeMediaLadder {
     }
     println(s"""{"probe":"media_ladder","reps":$reps,"statistic":"min_of_reps",""" +
       s""""note":"file-count ladder, per-id varied content (mp4/webm replicate the deterministic muxer fixture: identical per-copy container work). shuffle_mb_max vs media_mb is the media-bytes-never-shuffle measurement.",""" +
-      s""""wall_exponents":{${exps.map { case (k, v) => s""""$k":$v""" }.mkString(",")}},""" +
+      s""""wall_exponents":{${exps.map { case (k, v) =>
+        s""""$k":${v.map(_.toString).getOrElse("null")}""" }.mkString(",")}},""" +
       s""""cells":[${cellsJson.mkString(",")}]}""")
     spark.stop()
   }

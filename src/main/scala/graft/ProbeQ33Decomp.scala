@@ -62,15 +62,34 @@ object ProbeQ33Decomp {
           graft.functions.TextStats.text_stats(spark, "text",
             text.TextQueries.stopwords).getField("n_tokens").as("n_tokens"))
 
+    def q37NoSort() = {
+      val st = graft.functions.TextStats.text_stats(spark, "text",
+        Seq("the", "a", "of"))
+      Tables.documents(spark, d)
+        .select(col("doc_id"), col("lang"), st.as("st"))
+        .select(col("doc_id"), col("lang"),
+          col("st.n_stopword_tokens").as("en_stopword_hits"),
+          (col("st.n_stopword_tokens").cast("double")
+            / col("st.n_tokens").cast("double")).as("en_score"))
+    }
     val variants: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
       "full" -> (() => q33(spark, d)),
       "no_sort" -> (() => noSort()),
       "stats_only" -> (() => statsOnly()),
+      // the floor below any text query: scan the projected columns and
+      // materialize the same output width, no text_stats at all
+      "scan_floor" -> (() => Tables.documents(spark, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))),
       // range partitioning's sampling pass re-executes the child plan, so
       // ORDER BY over computed stats runs text_stats twice; a checkpoint
       // barrier materializes the small stats rows once and sorts those
       "ckpt_then_sort" -> (() => noSort().localCheckpoint().orderBy("doc_id")),
-      "q32_full" -> (() => q32(spark, d)))
+      "q32_full" -> (() => q32(spark, d)),
+      // q37's decomposition (r16 verdict: 7.3× DuckDB at 10× — is it
+      // compute or pipeline floor?): full = registered (ckpt+sort);
+      // no_sort drops the total-order tail
+      "q37_full" -> (() => SparkEntry.queries("q37_lang_id")(spark, d)),
+      "q37_no_sort" -> (() => q37NoSort()))
 
     val cells = variants.map { case (name, mk) =>
       Bench.materialize(mk()) // warm

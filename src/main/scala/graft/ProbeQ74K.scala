@@ -32,6 +32,14 @@ object ProbeQ74K {
     * (on those, Σ|cluster|² stays family-quadratic at ANY k — the first
     * r15 run measured propN candidates at 431M vs sqrtN's 827M at 100×,
     * a 1.9× trim where a non-degenerate corpus shows the linear flatten).
+    *
+    * `planted:N:C:dir` legs (r16 verdict #5 — the realistic geometry the
+    * uniform synth corpus is adversarial for): N vectors in C planted
+    * clusters — anchor dims hash-uniform in [-1,1], members jittered
+    * ±0.08 around their anchor (the IvfArgminL2Spec shape at probe
+    * scale). Coarse pruning has real structure to exploit here, so
+    * kept-rows agreement vs brute measures the production nprobe
+    * operating point instead of its worst case.
     */
   private def resolveDir(spark: org.apache.spark.sql.SparkSession,
       dirArg: String): String =
@@ -50,6 +58,23 @@ object ProbeQ74K {
           .write.mode("overwrite").parquet(path)
       }
       outDir
+    } else if (dirArg.startsWith("planted:")) {
+      val Array(_, nStr, cStr, outDir) = dirArg.split(":", 4)
+      val path = s"$outDir/embeddings.parquet"
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        val c = cStr.toLong
+        val anchor = pmod(col("id"), lit(c))
+        spark.range(nStr.toLong)
+          .select(col("id").as("vec_id"),
+            transform(sequence(lit(0), lit(63)), dIdx =>
+              ((pmod(xxhash64(anchor * 64 + dIdx), lit(1000000L))
+                .cast("double") / 500000.0 - 1.0) +
+                (pmod(xxhash64(col("id") * 64 + dIdx + lit(7919)),
+                  lit(1000000L)).cast("double") / 500000.0 - 1.0) * 0.08)
+                .cast("float")).as("embedding"))
+          .write.mode("overwrite").parquet(path)
+      }
+      outDir
     } else dirArg
 
   def main(args: Array[String]): Unit = {
@@ -64,7 +89,11 @@ object ProbeQ74K {
     val baseDir = resolveDir(spark, args(0))
     val dirs = args.drop(1).toSeq.map { a =>
       val d = resolveDir(spark, a)
-      val label = if (a.startsWith("synth:")) "synth:" + a.split(":")(1) else d.split("/").last
+      val label =
+        if (a.startsWith("synth:")) "synth:" + a.split(":")(1)
+        else if (a.startsWith("planted:"))
+          "planted:" + a.split(":")(1) + ":" + a.split(":")(2)
+        else d.split("/").last
       label -> d
     }
     val reps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "2").toInt
@@ -79,10 +108,18 @@ object ProbeQ74K {
 
     // SPARK_GRAFT_Q74_SCHEDULES selects a subset (comma-separated) — the
     // brute propN fit is O(N·K·d) per assignment pass BY DESIGN, so upper
-    // ladder rungs run it selectively (the ANN leg is what scales there)
+    // ladder rungs run it selectively (the ANN leg is what scales there).
+    // ANN variants take an optional ":nprobe" suffix (default 8) and a
+    // "_kpp" marker for the k-means++ coarse fit (r16 verdict #5/#7):
+    //   propN_ann, propN_ann:32, propN_ann_kpp, propN_ann_kpp:32
     val schedules = sys.env.get("SPARK_GRAFT_Q74_SCHEDULES")
       .map(_.split(",").toSeq)
       .getOrElse(Seq("sqrtN", "propN", "propN_ann"))
+    // per-dir brute-propN kept flags, built lazily on first use — the
+    // reference for the ANN legs' kept-rows agreement (distributed
+    // compare; never collected)
+    val bruteKeptCache =
+      scala.collection.mutable.Map.empty[String, org.apache.spark.sql.DataFrame]
     val legs = for {
       (label, dir) <- dirs
       schedule <- schedules
@@ -91,33 +128,52 @@ object ProbeQ74K {
       // propN: k grows with the corpus so mean cluster size stays at the
       // base corpus's N₀/k₀ — the SemDeDup production sizing.
       // propN_ann (r16): same k schedule, but every Lloyd assignment pass
-      // is ANN-assisted (IvfArgminL2, nprobe=8) — the production answer
-      // to the O(N·K) brute assign leg this probe exposed in r15.
+      // is ANN-assisted (IvfArgminL2) — the production answer to the
+      // O(N·K) brute assign leg this probe exposed in r15.
       val k = schedule match {
         case "sqrtN" => None // the query's own kmK(n)
         case _ => Some(math.max(kBase,
           math.round(n.toDouble / nBase * kBase).toInt))
       }
-      // nprobe trades assignment fidelity for pruning (default 8;
-      // SPARK_GRAFT_Q74_NPROBE sweeps it — on a uniform synth corpus the
-      // coarse geometry is degenerate and kept-counts quantify the trade)
-      val nprobe = sys.env.getOrElse("SPARK_GRAFT_Q74_NPROBE", "8").toInt
-      val ann = if (schedule == "propN_ann") Some(nprobe) else None
+      val defaultNprobe = sys.env.getOrElse("SPARK_GRAFT_Q74_NPROBE", "8").toInt
+      val nprobe = schedule.split(":").lift(1).map(_.toInt).getOrElse(defaultNprobe)
+      val base = schedule.split(":").head
+      val isAnn = base.startsWith("propN_ann")
+      val kpp = base.endsWith("_kpp")
+      val ann = if (isAnn) Some(nprobe) else None
       val kUsed = k.getOrElse(similarity.SimilarityQueries.kmK(n))
       val candPairs = similarity.SimilarityQueries
-        .semCandidatePairs(spark, dir, k, ann).count()
+        .semCandidatePairs(spark, dir, k, ann, kpp).count()
       val kept = similarity.SimilarityQueries
-        .semanticDedup(spark, dir, k, ann)
+        .semanticDedup(spark, dir, k, ann, kpp)
         .filter(col("kept")).count()
+      // kept-rows AGREEMENT vs the brute propN reference at the same k
+      // (r16 verdict #5: the fidelity claim must be a row-level
+      // measurement on this geometry, not a kept-count coincidence) —
+      // only for ANN legs, and only when propN runs on this dir too
+      val agreement: Option[Double] =
+        if (!isAnn || !schedules.exists(_.split(":").head == "propN")) None
+        else {
+          val ref = bruteKeptCache.getOrElseUpdate(dir,
+            similarity.SimilarityQueries.semanticDedup(spark, dir, k, None)
+              .select(col("vec_id"), col("kept").as("kept_ref"))
+              .localCheckpoint())
+          val agree = similarity.SimilarityQueries
+            .semanticDedup(spark, dir, k, ann, kpp)
+            .select(col("vec_id"), col("kept"))
+            .join(ref, "vec_id")
+            .filter(col("kept") === col("kept_ref")).count()
+          Some(agree.toDouble / n)
+        }
       // assign-only wall: the Lloyd fit + final assignment without the
       // pair stage — k ∝ N makes the PAIR volume linear but the brute
       // assign O(N·K·d) quadratic-in-N; propN_ann measures the same leg
       // with the two-level pruned search (O(√(K·nprobe)·d) per vector)
       def assignOnce(): Unit = similarity.SimilarityQueries
-        .kmAssigned(spark, dir, k, ann)
+        .kmAssigned(spark, dir, k, ann, kpp)
         .write.format("noop").mode("overwrite").save()
       def runOnce(): Unit = similarity.SimilarityQueries
-        .semanticDedup(spark, dir, k, ann)
+        .semanticDedup(spark, dir, k, ann, kpp)
         .write.format("noop").mode("overwrite").save()
       assignOnce(); runOnce() // warm (plan + codegen)
       val assignWalls = (1 to reps).map(_ => time(assignOnce()))
@@ -125,7 +181,11 @@ object ProbeQ74K {
       System.gc()
       s"""{"sf":"$label","schedule":"$schedule","n":$n,"k":$kUsed,""" +
         s""""mean_cluster":${r3(n.toDouble / kUsed)},""" +
-        ann.map(p => s""""nprobe":$p,""").getOrElse("") +
+        ann.map(p => s""""nprobe":$p,"coarse":"${if (kpp) "kpp" else "min_cid"}",""")
+          .getOrElse("") +
+        agreement.map(a =>
+          s""""kept_agreement_vs_brute":${math.round(a * 100000.0) / 100000.0},""")
+          .getOrElse("") +
         s""""candidate_pairs":$candPairs,"kept_rows":$kept,""" +
         s""""assign_wall_min":${r3(assignWalls.min)},""" +
         s""""wall_reps":[${walls.map(r3).mkString(",")}],""" +
@@ -133,7 +193,7 @@ object ProbeQ74K {
     }
     println(s"""{"probe":"q74_production_k","base_n":$nBase,""" +
       s""""base_k":$kBase,"reps":$reps,""" +
-      s""""note":"sqrtN = the oracle-pinned demo schedule; propN = production k ∝ N (mean cluster pinned at base); propN_ann = same k with IvfArgminL2 nprobe=8 ANN-assisted assignment",""" +
+      s""""note":"sqrtN = the oracle-pinned demo schedule; propN = production k ∝ N (mean cluster pinned at base); propN_ann[:p] = same k with IvfArgminL2 nprobe=p (default 8) ANN-assisted assignment; _kpp = k-means++ coarse fit instead of smallest-cid; kept_agreement_vs_brute = fraction of rows whose kept flag matches the brute propN reference",""" +
       s""""legs":[${legs.mkString(",")}]}""")
     spark.stop()
   }

@@ -17,6 +17,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // r16 ADVICE (Int8Quantize): the native side maps NaN→null but the
+    // q87 oracle SQL would emit engine-dependent bytes on NaN input — a
+    // latent divergence no fixture currently exercises. Enforce that:
+    // fail the dump loudly if the embeddings fixture ever carries NaN,
+    // instead of letting the hash gate diverge mysteriously.
+    try {
+      import org.apache.spark.sql.functions.{col, exists, isnan}
+      val nanVecs = Tables.embeddings(spark, sfDir)
+        .filter(exists(col("embedding"), x => isnan(x))).count()
+      require(nanVecs == 0L,
+        s"embeddings fixture carries $nanVecs NaN vectors; the " +
+          "int8_quantize oracle SQL has no NaN guard (see Int8Quantize)")
+    } catch { case _: org.apache.spark.sql.AnalysisException => () } // table absent
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
       .foreach { case (name, fn) =>

@@ -74,7 +74,15 @@ case class IvfArgminL2(v: Expression, layout: Expression, nprobe: Int)
     val coarse = lay.getArray(4)
     val dims = vec.numElements()
     val k = cids.numElements()
-    if (k == 0 || dims == 0) return null
+    if (k == 0) return null
+    // r16 ADVICE: a zero-length vector must match ArgminL2's contract —
+    // every centroid distance degenerates to 0.0 and the FIRST centroid
+    // in layout order wins (cids are laid out sorted, so that is the
+    // lowest cid) — not null, or "probing every cell reproduces brute
+    // argmin_l2 bit-for-bit" breaks on empty input.
+    if (dims == 0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](cids.getInt(0), 0.0))
     val vv = vec.toDoubleArray()
     val nc = coarse.numElements() / dims
     val p = math.min(nprobe, nc)

@@ -755,7 +755,8 @@ object SimilarityQueries {
     */
   private[graft] def kmAssigned(s: org.apache.spark.sql.SparkSession,
       d: String, kOverride: Option[Int] = None,
-      annProbe: Option[Int] = None): DataFrame = {
+      annProbe: Option[Int] = None,
+      coarseKpp: Boolean = false): DataFrame = {
     val k = kOverride.getOrElse(kmK(Tables.rowCount(s, d, "embeddings")))
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
@@ -784,16 +785,62 @@ object SimilarityQueries {
           col("m.dist2").as("dist2"), col("v"))
     }
     // ANN-assisted assignment (annProbe path): group the centroids into
-    // C = ⌈√(K·nprobe)⌉ coarse cells (coarse centers = the C smallest-cid
-    // centroids — deterministic, no extra fit; recall is nprobe's job),
-    // build the five-array IvfArgminL2 layout in ONE relational row (the
-    // HOF prefix-sum/flatten steps run interpreted but on a single row),
-    // and assign inside the scan stage exactly like the brute path —
-    // same single broadcast row, vectors never leave their partition.
+    // C = ⌈√(K·nprobe)⌉ coarse cells (default coarse centers = the C
+    // smallest-cid centroids — deterministic, no extra fit; recall is
+    // nprobe's job), build the five-array IvfArgminL2 layout in ONE
+    // relational row (the HOF prefix-sum/flatten steps run interpreted
+    // but on a single row), and assign inside the scan stage exactly
+    // like the brute path — same single broadcast row, vectors never
+    // leave their partition.
+    //
+    // `coarseKpp` (probe-only, r16 verdict #7): coarse centers picked by
+    // a deterministic k-means++ pass over the ≤ K collected centroids
+    // instead of smallest-cid — on elongated distributions a spread-out
+    // coarse net can buy recall at equal nprobe; ProbeQ74K's
+    // clustered-geometry leg measures whether it does. Collecting the
+    // centroid table is bounded by KmKMax (32 MB), the same bound that
+    // lets it broadcast.
+    def kppCids(cents: DataFrame, m: Int): Seq[Int] = {
+      val pts = cents.orderBy("cid")
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      if (pts.length <= m) pts.map(_._1).toSeq
+      else {
+        val rng = new scala.util.Random(2027L)
+        def d2(a: Array[Double], b: Array[Double]): Double = {
+          var s = 0.0; var i = 0
+          while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+          s
+        }
+        val chosen = scala.collection.mutable.ArrayBuffer(0) // lowest cid seeds
+        val minD = pts.map(p => d2(p._2, pts(0)._2))
+        while (chosen.size < m) {
+          val tot = minD.sum
+          val pick =
+            if (tot <= 0.0) minD.indexWhere(_ >= 0.0) // degenerate: all equal
+            else {
+              var r = rng.nextDouble() * tot
+              var i = 0
+              while (i < minD.length - 1 && r > minD(i)) { r -= minD(i); i += 1 }
+              i
+            }
+          chosen += pick
+          var i = 0
+          while (i < pts.length) {
+            val dd = d2(pts(i)._2, pts(pick)._2)
+            if (dd < minD(i)) minD(i) = dd
+            i += 1
+          }
+        }
+        chosen.map(pts(_)._1).toSeq
+      }
+    }
     def assignIvf(cents: DataFrame, nprobe: Int): DataFrame = {
       val cCount = math.min(k,
         math.max(1, math.ceil(math.sqrt(k.toDouble * nprobe)).toInt))
-      val coarseRow = cents.orderBy("cid").limit(cCount)
+      val coarseSel =
+        if (coarseKpp) cents.filter(col("cid").isin(kppCids(cents, cCount): _*))
+        else cents.orderBy("cid").limit(cCount)
+      val coarseRow = coarseSel
         .agg(array_sort(collect_list(struct(col("cid"), col("cv")))).as("cs"))
         .select(
           transform(sequence(lit(0), size(col("cs")) - 1),
@@ -939,14 +986,16 @@ object SimilarityQueries {
     */
   private[graft] def semCandidatePairs(s: org.apache.spark.sql.SparkSession,
       d: String, kOverride: Option[Int] = None,
-      annProbe: Option[Int] = None): DataFrame =
-    semPairs(kmAssigned(s, d, kOverride, annProbe)
+      annProbe: Option[Int] = None,
+      coarseKpp: Boolean = false): DataFrame =
+    semPairs(kmAssigned(s, d, kOverride, annProbe, coarseKpp)
       .select(col("cid"), col("vec_id"), col("v")))
 
   private[graft] def semanticDedup(s: org.apache.spark.sql.SparkSession,
       d: String, kOverride: Option[Int] = None,
-      annProbe: Option[Int] = None): DataFrame = {
-    val a = kmAssigned(s, d, kOverride, annProbe)
+      annProbe: Option[Int] = None,
+      coarseKpp: Boolean = false): DataFrame = {
+    val a = kmAssigned(s, d, kOverride, annProbe, coarseKpp)
       .select(col("vec_id"), col("cid"), col("v"))
     val dropped = semPairs(a.select(col("cid"), col("vec_id"), col("v")))
       .withColumn("cosine", cos6(s, "va", "vb"))

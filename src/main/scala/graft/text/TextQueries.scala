@@ -521,10 +521,11 @@ object TextQueries {
         graft.functions.DsirBucketCounts
           .dsir_bucket_counts(s, "text", b).as("bc"))
       .localCheckpoint()
-    // target source: a bounded driver action (1 row — the q62/q86 class);
+    // target source: a bounded driver action (1 row — the q62/q86 class),
+    // read off the checkpointed counts (never a second parquet scan);
     // null only on an empty corpus, where the scoring relation is empty
     // anyway
-    val tgtRow = docs.agg(min(col("source")).as("tgt")).head
+    val tgtRow = counts.agg(min(col("source")).as("tgt")).head
     val tgt = if (tgtRow.isNullAt(0)) null else tgtRow.getString(0)
     val withTgt = counts
       .withColumn("is_target", col("source") === lit(tgt))
@@ -1099,8 +1100,9 @@ object TextQueries {
     val counts = docs.select(col("doc_id"), col("source"),
         graft.functions.BigramHashCounts.bigram_hash_counts(s, "text").as("bgc"))
       .localCheckpoint()
-    // target source: a bounded driver action (1 row — the q62/q86 class)
-    val tgtRow = docs.agg(min(col("source")).as("tgt")).head
+    // target source: a bounded driver action (1 row — the q62/q86 class),
+    // read off the checkpointed counts (never a second parquet scan)
+    val tgtRow = counts.agg(min(col("source")).as("tgt")).head
     val tgt = if (tgtRow.isNullAt(0)) null else tgtRow.getString(0)
     // the model is vocab-bounded (distinct TARGET bigrams / prevs — the
     // broadcast argument in the header): ONE collect of the target
@@ -1146,9 +1148,13 @@ object TextQueries {
   }
 
   val q80LmPerplexity: Q = (s, d) => {
-    // one row per doc; referenced twice (cut points + final output) —
-    // checkpoint so the scoring pipeline runs once, not twice
-    val scores = q80Scores(s, d).localCheckpoint()
+    // one row per doc, referenced twice (cut points + final output) — NOT
+    // checkpointed (r17): with the fused per-doc scorer the relation is a
+    // narrow projection over the ALREADY-checkpointed transition counts,
+    // so recomputing it for the percentile subquery is cheaper than an
+    // eager materialization job (the q79 sort-barrier reasoning; the
+    // heavy inputs behind it are checkpointed inside q80Scores)
+    val scores = q80Scores(s, d)
     val cuts = scores.agg(
       round(expr("percentile(avg_nll, 0.33)"), 6).as("p33"),
       round(expr("percentile(avg_nll, 0.66)"), 6).as("p66"))

@@ -54,6 +54,25 @@ class IvfArgminL2Spec extends SparkSpec {
     }
   }
 
+  test("zero-length vector matches ArgminL2: first centroid at dist2 0") {
+    // r16 ADVICE: the dims==0 branch returned null while brute argmin_l2
+    // degenerates every distance to 0.0 and keeps the first centroid —
+    // the bit-for-bit contract must hold on empty input too
+    val layout = mkLayout(
+      cells = Seq(0, 1), starts = Seq(0, 1, 2), cids = Seq(3, 8),
+      cvsFlat = Seq(1.0, 1.0, 2.0, 2.0),
+      coarseFlat = Seq(0.0, 0.0, 5.0, 5.0))
+    val row = Seq(Tuple1(Seq.empty[Double])).toDF("v")
+      .withColumn("cids", typedlit(Seq(3, 8)))
+      .withColumn("flat", typedlit(Seq(1.0, 1.0, 2.0, 2.0)))
+      .select(IvfArgminL2.ivf_argmin_l2(col("v"), layout, nprobe = 1).as("ivf"),
+        ArgminL2.argmin_l2(spark, "v", "cids", "flat").as("brute"))
+      .collect()(0)
+    assert(!row.isNullAt(0), "empty vector must not map to null")
+    assert(row.getStruct(0) == row.getStruct(1),
+      s"ivf ${row.getStruct(0)} != brute ${row.getStruct(1)}")
+  }
+
   test("empty probed cell falls back to the full scan (totality)") {
     // two coarse centers; ALL centroids live in cell 1; a query at coarse
     // center 0 probes only the empty cell with nprobe=1 — the fallback

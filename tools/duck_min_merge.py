@@ -26,13 +26,22 @@ def main(pa, pb, out):
             merged[q], prov[q] = vb, "B(only)"
         else:
             merged[q], prov[q] = None, "err"
-    json.dump({"total": round(sum(v for v in merged.values() if v), 2),
+    # r16 ADVICE: `if v` dropped legitimate 0.0 walls from the total, and
+    # an err-in-both-sessions query vanished silently — an incomplete
+    # merge read as a faster run. Use `is not None` and surface the count.
+    err_cnt = sum(1 for v in merged.values() if v is None)
+    json.dump({"total": round(sum(v for v in merged.values()
+                                  if v is not None), 2),
                "statistic": "min_of_reps_across_2_sessions",
+               "err_queries": err_cnt,
                "sessions": [pa, pb], "session_provenance": prov,
                "queries": merged},
               open(out, "w"))
     pb_cnt = sum(1 for v in prov.values() if v.startswith("B"))
-    print(f"wrote {out}: {len(merged)} queries, {pb_cnt} from session B")
+    print(f"wrote {out}: {len(merged)} queries, {pb_cnt} from session B, "
+          f"{err_cnt} err in BOTH sessions")
+    if err_cnt:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
