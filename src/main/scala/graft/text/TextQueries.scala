@@ -177,7 +177,9 @@ object TextQueries {
         enHits.as("en_stopword_hits"),
         (enHits.cast("double") / col("st.n_tokens").cast("double"))
           .as("en_score"))
-      .localCheckpoint() // see q32: sort sampling re-executes the scan
+      // see q32: sort sampling re-executes the scan; LAZY — the sampling
+      // pass itself materializes the barrier (no separate eager job)
+      .localCheckpoint(eager = false)
       .orderBy("doc_id")
   }
   val q37Sql: String =
@@ -325,7 +327,7 @@ object TextQueries {
     // "overhead" the bloom was blamed for)
     val trainShingles = docs.filter(col("is_train"))
       .select(explode(col("shingles")).as("shingle")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // materialized by the bloom build's .head
     // the shingle column IS the XXH64 long (decontaminationDocs hashes at
     // the scan), so it feeds the bloom directly — identical bits to the
     // old xxhash64(shingle-string), per the text_shingle_hashes contract
@@ -517,10 +519,13 @@ object TextQueries {
     // as half of q79's 10× wall. Checkpointed because the vectors feed
     // BOTH the bucket model and the per-doc scoring (the q69 "scan
     // exactly once" discipline); b × 8 bytes per doc, bounded.
+    // LAZY checkpoint: the first consumer (the tgt aggregate)
+    // materializes it in its own job — an eager barrier was a whole
+    // extra job at the per-query floor
     val counts = docs.select(col("doc_id"), col("source"),
         graft.functions.DsirBucketCounts
           .dsir_bucket_counts(s, "text", b).as("bc"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // target source: a bounded driver action (1 row — the q62/q86 class),
     // read off the checkpointed counts (never a second parquet scan);
     // null only on an empty corpus, where the scoring relation is empty
@@ -1097,9 +1102,17 @@ object TextQueries {
     // empty array and is dropped by the explode — same population as the
     // old size >= 2 filter. Checkpointed: feeds the model AND the scoring
     // side; compact struct rows, far smaller than the text they replace.
+    // `hl` = hash64(last token): a doc's distinct tokens are exactly
+    // {prev of some transition} ∪ {last token} (every token except the
+    // last IS a prev; a duplicate transition has the same prev string),
+    // so the vocab count folds into the model collect below and the old
+    // separate corpus-scan voc job is gone. LAZY checkpoint: the first
+    // consumer (the tgt aggregate) materializes it — an eager barrier
+    // here was a whole extra job at the per-query floor.
     val counts = docs.select(col("doc_id"), col("source"),
-        graft.functions.BigramHashCounts.bigram_hash_counts(s, "text").as("bgc"))
-      .localCheckpoint()
+        graft.functions.BigramHashCounts.bigram_hash_counts(s, "text").as("bgc"),
+        h64(substring_index(col("text"), " ", -1)).as("hl"))
+      .localCheckpoint(eager = false)
     // target source: a bounded driver action (1 row — the q62/q86 class),
     // read off the checkpointed counts (never a second parquet scan)
     val tgtRow = counts.agg(min(col("source")).as("tgt")).head
@@ -1114,13 +1127,18 @@ object TextQueries {
     // ever materialized (parity argued and spec-pinned there).
     val cbAcc = new java.util.HashMap[Long, Long]()
     val cuAcc = new java.util.HashMap[Long, Long]()
-    counts.filter(col("source") === lit(tgt)).select(col("bgc"))
+    val vocab = new java.util.HashSet[Long]()
+    counts.filter(col("source") === lit(tgt)).select(col("bgc"), col("hl"))
       .collect().foreach { r =>
-        r.getSeq[org.apache.spark.sql.Row](0).foreach { e =>
+        if (!r.isNullAt(0)) r.getSeq[org.apache.spark.sql.Row](0).foreach { e =>
           val hp = e.getLong(0); val hb = e.getLong(1); val cnt = e.getLong(2)
           cbAcc.merge(hb, cnt, (a, x) => a + x)
           cuAcc.merge(hp, cnt, (a, x) => a + x)
+          vocab.add(hp)
         }
+        // the last token — 1-token docs included; null text contributes
+        // no tokens (matching the old explode-over-split voc)
+        if (!r.isNullAt(1)) vocab.add(r.getLong(1))
       }
     def toPairs(m: java.util.HashMap[Long, Long]): Array[(Long, Long)] = {
       val out = new Array[(Long, Long)](m.size)
@@ -1131,10 +1149,10 @@ object TextQueries {
     }
     val cbM = graft.functions.BigramScore.broadcastModel(s, toPairs(cbAcc))
     val cuM = graft.functions.BigramScore.broadcastModel(s, toPairs(cuAcc))
-    val v = docs.filter(col("source") === lit(tgt))
-      .select(explode(toks).as("tok"))
-      .select(h64(col("tok")).as("ht"))
-      .agg(countDistinct("ht").as("v")).head.getLong(0)
+    // v ≡ countDistinct(hash64(tok)) over target docs (the set identity
+    // argued at `hl`); the dedicated corpus-scan job it replaces was one
+    // of the per-query floor's six jobs
+    val v = vocab.size.toLong
     counts
       .filter(size(col("bgc")) > 0) // the explode dropped transition-free docs
       .select(col("doc_id"), col("source"),
