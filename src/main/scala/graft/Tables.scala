@@ -85,6 +85,30 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  /** Scale-adaptive scan-parallelism floor (r17; guide §2.5 "input skew:
+    * one huge unsplittable file ... otherwise repartition immediately
+    * after the read"). The committed test tables are SINGLE-row-group
+    * parquet files, so any scan of them is one task and every scan-side
+    * computation (argmin passes, shingle hashing, decimal partial aggs)
+    * runs single-threaded no matter the core count. For a relation that
+    * is consumed by SEVERAL passes (the Lloyd fits, the PQ subvector
+    * split), one round-robin exchange spreads all downstream pass work
+    * across the session's cores.
+    *
+    * Strictly a no-op at real scale: when the scan already yields at
+    * least `defaultParallelism` partitions — any properly-split input,
+    * i.e. every production deployment — the DataFrame is returned
+    * untouched, so no shuffle is ever added to a 100 TB plan. Row order
+    * is not semantics here (every declared query aggregates or totally
+    * orders its output), and round-robin repartition sorts-before-
+    * repartition by default, so retried tasks reproduce the same
+    * placement.
+    */
+  def fanOut(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** Table row count from parquet footer metadata — a driver-side footer
     * read, NOT a Spark job. Adaptive operators (e.g. q51's LSH band width)
     * need N before planning; running `df.count()` for it costs a full scan

@@ -51,41 +51,74 @@ object IvfPq {
 
   /** Coarse quantizer: (cents (cid, cv), assigned (vec_id, cid, v)) —
     * q69's Lloyd shape with a fixed-K codebook.
+    *
+    * r17 (job-floor cut + the r15 argmin lesson): the K-row codebook is
+    * DRIVER-LOCAL between rounds (it round-tripped the driver inside
+    * every broadcast build regardless), so a Lloyd round is ONE action —
+    * the update mean collect — and broadcasts cost no job (LocalRelation
+    * collects driver-side). Assignment moves from join + groupBy
+    * min(struct(dist2, cid, v)) — the Sort + SortAggregate
+    * vector-payload trap r15 measured on q69 — to the native per-row
+    * `argmin_l2` over the flattened codebook: same (dist2, cid)
+    * selection by its pinned contract, vectors never leave their scan
+    * partition. Measured r17 start: q38 ran 29 sequential jobs for
+    * 1.9 CPU-s (ProbeJobs) — the wall was the job chain.
     */
-  private def coarseFit(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private type Cents = Array[(Int, Array[Double])]
+  private def centsRowDf(s: SparkSession, cents: Cents): DataFrame = {
+    import org.apache.spark.sql.types._
+    s.createDataFrame(
+      java.util.Collections.singletonList(org.apache.spark.sql.Row(
+        cents.map(_._1).toSeq, cents.flatMap(_._2).toSeq)),
+      StructType(Seq(
+        StructField("cids", ArrayType(IntegerType, containsNull = false)),
+        StructField("cvs_flat", ArrayType(DoubleType, containsNull = false)))))
+  }
+  private def centsDfOf(s: SparkSession, cents: Cents): DataFrame = {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(
+      cents.map(c => org.apache.spark.sql.Row(c._1, c._2.toSeq)).toSeq.asJava,
+      StructType(Seq(
+        StructField("cid", IntegerType, nullable = false),
+        StructField("cv", ArrayType(DoubleType, containsNull = false)))))
+  }
+  private def coarseFit(s: SparkSession, d: String): (Cents, DataFrame) = {
     val e = emb(s, d)
-    def assign(cents: DataFrame): DataFrame =
-      e.join(broadcast(cents))
-        .withColumn("dist2", l2sq6(s, "v", "cv"))
-        .groupBy("vec_id")
-        .agg(min(struct(col("dist2"), col("cid"), col("v"))).as("m"))
-        .select(col("vec_id"), col("m.cid").as("cid"), col("m.v").as("v"))
-    def update(assigned: DataFrame): DataFrame =
-      assigned
+    def assign(cents: Cents): DataFrame =
+      e.crossJoin(broadcast(centsRowDf(s, cents)))
+        .select(col("vec_id"),
+          graft.functions.ArgminL2.argmin_l2(s, "v", "cids", "cvs_flat")
+            .getField("cid").as("cid"),
+          col("v"))
+    def update(assigned: DataFrame): Cents = {
+      val rows = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cid", "dim")
         .agg((sum(round(col("x"), 12).cast("decimal(28,12)")).cast("double")
           / count(lit(1))).as("m"))
-        .groupBy("cid")
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-          e => e("m")).as("cv"))
-    var cents = e.filter(col("vec_id") < IvfK)
-      .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
-    for (_ <- 1 to IvfIters)
-      cents = update(assign(cents)).localCheckpoint()
-    // the final assignment feeds residualSubs AND (via fit) the code
-    // assignment — checkpoint it so the broadcast-join+groupBy subtree
-    // runs once per fit, not once per consumer. At cluster scale this
-    // materialization IS the index build: the assigned lists are exactly
-    // what an IVF layout persists (list id = partition key).
-    (cents, assign(cents).localCheckpoint())
+        .collect()
+      rows.groupBy(_.getInt(0)).toArray.sortBy(_._1).map { case (cid, rs) =>
+        (cid, rs.sortBy(_.getInt(1)).map(_.getDouble(2)))
+      }
+    }
+    var cents: Cents = e.filter(col("vec_id") < IvfK)
+      .select(col("vec_id").cast("int").as("cid"), col("v"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    for (_ <- 1 to IvfIters) cents = update(assign(cents))
+    // no checkpoint on the final assignment: its single consumer is the
+    // residual split, which IS checkpointed (lazily) in fit below
+    (cents, assign(cents))
   }
 
   /** Residual subvectors (vec_id, ccid, sub, sv): one row per (vector,
     * subspace), sv = the subspace slice of v − coarse centroid.
     */
-  private def residualSubs(s: SparkSession, coarse: (DataFrame, DataFrame)): DataFrame = {
-    val (cents, assigned) = coarse
+  private def residualSubs(s: SparkSession, coarse: (Cents, DataFrame)): DataFrame = {
+    val (centsLocal, assigned) = coarse
+    val cents = centsDfOf(s, centsLocal)
     assigned.join(broadcast(cents), Seq("cid"))
       .select(col("vec_id"), col("cid").as("ccid"),
         zip_with(col("v"), col("cv"), (a, b) => a - b).as("r"))
@@ -101,32 +134,63 @@ object IvfPq {
   private[similarity] def fit(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val coarse = coarseFit(s, d)
-    // rsub is read by the PQ init filter, every Lloyd round, and the
+    // rsub is read by the PQ init collect, every Lloyd round, and the
     // final code assignment — checkpoint the residual split once (N*M
     // slim rows; at cluster scale this is the transient build-side of
-    // the index, partitioned by list like the codes it produces)
-    val rsub = residualSubs(s, coarse).localCheckpoint()
-    def assign(cents: DataFrame): DataFrame =
-      rsub.join(broadcast(cents), Seq("sub"))
-        .withColumn("dist2", l2sq6(s, "sv", "cv"))
-        .groupBy("vec_id", "sub")
-        .agg(min(struct(col("dist2"), col("cid"), col("ccid"), col("sv"))).as("m"))
-        .select(col("vec_id"), col("m.ccid").as("ccid"), col("sub"),
-          col("m.cid").as("cid"), col("m.sv").as("sv"))
-    def update(assigned: DataFrame): DataFrame =
-      assigned
+    // the index, partitioned by list like the codes it produces). LAZY:
+    // the first consumer (the PQ init collect) materializes it inside
+    // its own job instead of paying a dedicated eager pass.
+    val rsub = residualSubs(s, coarse).localCheckpoint(eager = false)
+    // PQ stage over residuals: driver-local codebook, argmin_l2
+    // assignment — the same r17 restructure as the coarse stage (and as
+    // ProductQuantization.fitLocal), one action per Lloyd round
+    type SubCents = Array[(Int, Int, Array[Double])] // (sub, cid, cv)
+    def subCentsDf(cents: SubCents): DataFrame = {
+      import org.apache.spark.sql.types._
+      import scala.jdk.CollectionConverters._
+      val rows = cents.groupBy(_._1).toSeq.sortBy(_._1).map { case (sub, cs) =>
+        val sorted = cs.sortBy(_._2)
+        org.apache.spark.sql.Row(sub,
+          sorted.map(_._2).toSeq, sorted.flatMap(_._3).toSeq)
+      }
+      s.createDataFrame(rows.asJava, StructType(Seq(
+        StructField("sub", IntegerType, nullable = false),
+        StructField("cids", ArrayType(IntegerType, containsNull = false)),
+        StructField("cvs_flat", ArrayType(DoubleType, containsNull = false)))))
+    }
+    def assign(cents: SubCents): DataFrame =
+      rsub.join(broadcast(subCentsDf(cents)), Seq("sub"))
+        .select(col("vec_id"), col("ccid"), col("sub"),
+          graft.functions.ArgminL2.argmin_l2(s, "sv", "cids", "cvs_flat")
+            .getField("cid").as("cid"),
+          col("sv"))
+    def update(assigned: DataFrame): SubCents = {
+      val rows = assigned
         .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("dim", "x")))
         .groupBy("sub", "cid", "dim")
         .agg((sum(round(col("x"), 12).cast("decimal(28,12)")).cast("double")
           / count(lit(1))).as("m"))
-        .groupBy("sub", "cid")
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-          e => e("m")).as("cv"))
-    var cents = rsub.filter(col("vec_id") < PqK)
-      .select(col("sub"), col("vec_id").cast("int").as("cid"), col("sv").as("cv"))
-    for (_ <- 1 to PqIters)
-      cents = update(assign(cents)).localCheckpoint()
-    (coarse._1, cents,
+        .collect()
+      rows.groupBy(r => (r.getInt(0), r.getInt(1))).toArray
+        .sortBy(_._1).map { case ((sub, cid), rs) =>
+          (sub, cid, rs.sortBy(_.getInt(2)).map(_.getDouble(3)))
+        }
+    }
+    var cents: SubCents = rsub.filter(col("vec_id") < PqK)
+      .select(col("sub"), col("vec_id").cast("int").as("cid"), col("sv"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .sortBy(c => (c._1, c._2))
+    for (_ <- 1 to PqIters) cents = update(assign(cents))
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val pcentsDf = s.createDataFrame(
+      cents.map(c => org.apache.spark.sql.Row(c._1, c._2, c._3.toSeq)).toSeq.asJava,
+      StructType(Seq(
+        StructField("sub", IntegerType, nullable = false),
+        StructField("cid", IntegerType, nullable = false),
+        StructField("cv", ArrayType(DoubleType, containsNull = false)))))
+    (centsDfOf(s, coarse._1), pcentsDf,
       assign(cents).select(col("vec_id"), col("ccid"), col("sub"), col("cid")))
   }
 

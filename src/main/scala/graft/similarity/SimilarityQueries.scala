@@ -758,6 +758,11 @@ object SimilarityQueries {
       annProbe: Option[Int] = None,
       coarseKpp: Boolean = false): DataFrame = {
     val k = kOverride.getOrElse(kmK(Tables.rowCount(s, d, "embeddings")))
+    // (r17: a fanOut+checkpoint of this relation was measured SLOWER at
+    // the bench SF — 2k vectors make every pass's compute ~1 ms, so 32
+    // post-shuffle tasks cost more than the single-task scan they
+    // replace; the scan re-runs per pass instead, which is also the
+    // plan that needs no corpus persist at 100 TB)
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
     // assignment is ONE exchange-free codegen'd pass (r15): the K
@@ -770,20 +775,42 @@ object SimilarityQueries {
     // sorts at the 100× board (199 s, wall exponent 1.32). Vectors now
     // never leave their scan partition at any corpus size; the broadcast
     // is K·dims·8 B ≤ 32 MB at the KmKMax cap.
-    def assign(cents: DataFrame): DataFrame = {
-      // two collect_lists in ONE aggregate over the same rows: Spark
-      // feeds both from the same input iterator, so ids and vectors stay
-      // index-aligned by construction
-      val centsRow = cents.agg(
-        collect_list(col("cid")).as("cids"),
-        flatten(collect_list(col("cv"))).as("cvs_flat"))
-      emb.crossJoin(broadcast(centsRow))
+    // r17 (job-floor cut, guide §1.2/§2.4): the ≤K-row centroid table
+    // lives DRIVER-LOCAL between rounds. It always round-tripped the
+    // driver anyway — the broadcast that carries it into the scan is
+    // built by collecting the relation — so holding it as local arrays
+    // moves no new bytes; what it removes per Lloyd round is the eager
+    // checkpoint job, the broadcast-BUILD job (broadcasting a
+    // LocalRelation collects via LocalTableScan.executeCollect, no tasks)
+    // and the second assembly exchange of the update. Measured r17 start:
+    // q69 ran 15 sequential jobs for 0.64 CPU-s (ProbeJobs) — the wall
+    // was the job chain, not the data.
+    type Cents = Array[(Int, Array[Double])]
+    def centsRowDf(cents: Cents): DataFrame = {
+      import org.apache.spark.sql.types._
+      s.createDataFrame(
+        java.util.Collections.singletonList(org.apache.spark.sql.Row(
+          cents.map(_._1).toSeq, cents.flatMap(_._2).toSeq)),
+        StructType(Seq(
+          StructField("cids", ArrayType(IntegerType, containsNull = false)),
+          StructField("cvs_flat", ArrayType(DoubleType, containsNull = false)))))
+    }
+    def centsDfOf(cents: Cents): DataFrame = {
+      import org.apache.spark.sql.types._
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(
+        cents.map(c => org.apache.spark.sql.Row(c._1, c._2.toSeq)).toSeq.asJava,
+        StructType(Seq(
+          StructField("cid", IntegerType, nullable = false),
+          StructField("cv", ArrayType(DoubleType, containsNull = false)))))
+    }
+    def assign(cents: Cents): DataFrame =
+      emb.crossJoin(broadcast(centsRowDf(cents)))
         .select(col("vec_id"),
           graft.functions.ArgminL2.argmin_l2(s, "v", "cids", "cvs_flat").as("m"),
           col("v"))
         .select(col("vec_id"), col("m.cid").as("cid"),
           col("m.dist2").as("dist2"), col("v"))
-    }
     // ANN-assisted assignment (annProbe path): group the centroids into
     // C = ⌈√(K·nprobe)⌉ coarse cells (default coarse centers = the C
     // smallest-cid centroids — deterministic, no extra fit; recall is
@@ -800,9 +827,7 @@ object SimilarityQueries {
     // clustered-geometry leg measures whether it does. Collecting the
     // centroid table is bounded by KmKMax (32 MB), the same bound that
     // lets it broadcast.
-    def kppCids(cents: DataFrame, m: Int): Seq[Int] = {
-      val pts = cents.orderBy("cid")
-        .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    def kppCids(pts: Cents, m: Int): Seq[Int] = {
       if (pts.length <= m) pts.map(_._1).toSeq
       else {
         val rng = new scala.util.Random(2027L)
@@ -834,11 +859,16 @@ object SimilarityQueries {
         chosen.map(pts(_)._1).toSeq
       }
     }
-    def assignIvf(cents: DataFrame, nprobe: Int): DataFrame = {
+    def assignIvf(centsLocal: Cents, nprobe: Int): DataFrame = {
+      // the layout BUILD stays relational (its aggs are over the ≤K-row
+      // LocalRelation — light), but it now sources from the driver-local
+      // table, so no checkpoint scan and no broadcast-build barrier
+      // precedes it
+      val cents = centsDfOf(centsLocal)
       val cCount = math.min(k,
         math.max(1, math.ceil(math.sqrt(k.toDouble * nprobe)).toInt))
       val coarseSel =
-        if (coarseKpp) cents.filter(col("cid").isin(kppCids(cents, cCount): _*))
+        if (coarseKpp) cents.filter(col("cid").isin(kppCids(centsLocal, cCount): _*))
         else cents.orderBy("cid").limit(cCount)
       val coarseRow = coarseSel
         .agg(array_sort(collect_list(struct(col("cid"), col("cv")))).as("cs"))
@@ -874,26 +904,36 @@ object SimilarityQueries {
         .select(col("vec_id"), col("m.cid").as("cid"),
           col("m.dist2").as("dist2"), col("v"))
     }
-    def assignPass(cents: DataFrame): DataFrame = annProbe match {
+    def assignPass(cents: Cents): DataFrame = annProbe match {
       case Some(p) => assignIvf(cents, p)
       case None => assign(cents)
     }
-    def update(assigned: DataFrame): DataFrame =
-      assigned
+    // update: ONE partial-aggregated exchange collected as ≤K·d slim
+    // (cid, dim, m) rows — the same bytes the next round's broadcast
+    // drives through the driver regardless — with the array assembly
+    // (sort by dim) done here instead of a second groupBy exchange.
+    // The per-(cid, dim) mean keeps the exact q66 decimal arithmetic, so
+    // every collected double is bit-identical to the relational form's.
+    // Each round is now exactly one action; lineage never grows because
+    // the next round's plan starts from a LocalRelation (which is what
+    // the old per-round localCheckpoint existed to guarantee).
+    def update(assigned: DataFrame): Cents = {
+      val rows = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cid", "dim")
         .agg((sum(round(col("x"), 12).cast("decimal(28,12)")).cast("double")
           / count(lit(1))).as("m"))
-        .groupBy("cid")
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-          e => e("m")).as("cv"))
-    var cents = emb.filter(col("vec_id") < k)
+        .collect()
+      rows.groupBy(_.getInt(0)).toArray.sortBy(_._1).map { case (cid, rs) =>
+        (cid, rs.sortBy(_.getInt(1)).map(_.getDouble(2)))
+      }
+    }
+    var cents: Cents = emb.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
-    // localCheckpoint the ≤K-row centroid table per round (DedupClusters'
-    // convention): without it every round's plan embeds the full upstream
-    // plan, so analysis/optimizer cost and lineage depth grow with KmIters —
-    // at real iteration counts that, not the data, becomes the bottleneck
-    for (_ <- 1 to KmIters) cents = update(assignPass(cents)).localCheckpoint()
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    for (_ <- 1 to KmIters) cents = update(assignPass(cents))
     assignPass(cents)
   }
 
