@@ -85,29 +85,19 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** Scale-adaptive scan-parallelism floor (r17; guide §2.5 "input skew:
-    * one huge unsplittable file ... otherwise repartition immediately
-    * after the read"). The committed test tables are SINGLE-row-group
-    * parquet files, so any scan of them is one task and every scan-side
-    * computation (argmin passes, shingle hashing, decimal partial aggs)
-    * runs single-threaded no matter the core count. For a relation that
-    * is consumed by SEVERAL passes (the Lloyd fits, the PQ subvector
-    * split), one round-robin exchange spreads all downstream pass work
-    * across the session's cores.
-    *
-    * Strictly a no-op at real scale: when the scan already yields at
-    * least `defaultParallelism` partitions — any properly-split input,
-    * i.e. every production deployment — the DataFrame is returned
-    * untouched, so no shuffle is ever added to a 100 TB plan. Row order
-    * is not semantics here (every declared query aggregates or totally
-    * orders its output), and round-robin repartition sorts-before-
-    * repartition by default, so retried tasks reproduce the same
-    * placement.
-    */
-  def fanOut(s: SparkSession, df: DataFrame): DataFrame = {
-    val target = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
-  }
+  // r17 measured-and-DISCARDED: a scale-adaptive "fanOut" (repartition
+  // right after the read when the scan yields fewer partitions than
+  // cores — guide §2.5's unsplittable-input remedy; the committed test
+  // tables are single-row-group parquet, so every scan is ONE task).
+  // Measured slower on BOTH candidate classes: the 2k-row embedding
+  // relations (32 post-shuffle tasks cost more than ~1 ms of single-task
+  // compute; q69/q74/q90 walls +0.4-1.0 s, fit cpu 0.6 -> 17-28 s) and
+  // the 600k-row lineitem aggregates (keyless repartition pays a local
+  // sort of the input — SPARK-23207 sortBeforeRepartition — plus the
+  // 11 MB shuffle; q01 0.74 -> 1.14 s, q05 0.80 -> 1.27 s, 5-rep mins).
+  // Single-row-group inputs serialize scan-side work and no exchange
+  // buys it back at this data size; at real scale inputs are split and
+  // the problem does not exist.
 
   /** Table row count from parquet footer metadata — a driver-side footer
     * read, NOT a Spark job. Adaptive operators (e.g. q51's LSH band width)

@@ -116,10 +116,15 @@ object DedupClusters {
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 20): DataFrame = {
+    // LAZY checkpoints (r17 job-floor cut): both barriers materialize
+    // inside round 1's first job instead of paying two dedicated eager
+    // passes — ProbeJobs measured this loop at 26 sequential jobs for
+    // 1.2 CPU-s at the bench SF, all scheduling floor
     val bidir = (edges.select(col("src"), col("dst"))
       unionByName edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
-    var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint()
+      .localCheckpoint(eager = false)
+    var labels = nodes.select(col("id"), col("id").as("comp"))
+      .localCheckpoint(eager = false)
     var converged = false
     var prevSum: Option[Long] = None
     var i = 0
@@ -138,11 +143,14 @@ object DedupClusters {
           col("l.comp") === col("cid"), "left")
         .select(col("l.id").as("id"),
           least(col("l.comp"), coalesce(col("ccomp"), col("l.comp"))).as("comp"))
-      val next = jumped
-        .localCheckpoint() // truncate lineage: iterative plans must stay flat
-      // labels only ever DECREASE, so the label sum is unchanged iff the
-      // round was a fixpoint — one tiny aggregate over checkpointed rows
-      // replaces a self-join diff (inherent cost of any iterative fixpoint)
+      // lineage truncation + fixpoint probe in ONE action (r17): the lazy
+      // checkpoint is materialized by the sum aggregate's own job, so a
+      // round costs one action instead of an eager-checkpoint job PLUS a
+      // sum job. Labels only ever DECREASE, so the label sum is unchanged
+      // iff the round was a fixpoint — one tiny aggregate over the
+      // now-materialized rows replaces a self-join diff (inherent cost of
+      // any iterative fixpoint).
+      val next = jumped.localCheckpoint(eager = false)
       val sumRow = next.agg(org.apache.spark.sql.functions.sum("comp")).head()
       // sum over ZERO rows is null (empty nodes): treat as converged-at-0
       val sum = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
