@@ -33,6 +33,10 @@ object WindowQueries {
         (col("value") - prev).as("delta"),
         (col("value") - prev).divide(when(prev === 0, null).otherwise(prev))
           .as("pct_change"))
+      // no barrier here (r17, measured): the sort-sampling re-execution
+      // is real but LAG is a trivial frame -- persisting 100k rows cost
+      // more than recomputing it (0.45 -> 0.61 s); contrast q22/q25,
+      // whose stddev/struct-max frames earn the barrier
       .orderBy("event_id")
   }
   val q21Sql: String =
@@ -56,6 +60,14 @@ object WindowQueries {
           .as("vol_5"),
         when(count(lit(1)).over(w10) >= 2, round(stddev(col("value")).over(w10), 3))
           .as("vol_10"))
+      // lazy barrier before the total-order tail (r17, the q32/q33 fix
+      // lifted to the expensive windows): range partitioning's sampling
+      // pass re-executes the sort's child, so sorting directly over the
+      // window projection ran the two stddev frames TWICE (measured
+      // 1.01 -> 0.75 s, 5-rep min); the checkpoint materializes the slim
+      // result rows once, inside the sampling job itself (eager=false).
+      // q21/q23/q24's trivial frames measured cheaper WITHOUT a barrier.
+      .localCheckpoint(eager = false)
       .orderBy("event_id")
   }
   val q22Sql: String =
@@ -112,7 +124,13 @@ object WindowQueries {
   // q25 — running peak + ticks-since-peak (W8): RL observation features
   // (`sidebet_v1_env.py:92-99`) — running max + index of the peak via the
   // struct-max trick (max_by over the running frame), distance since peak.
-  val q25PeakTracking: Q = (s, d) => {
+  /** q25's windowed projection WITHOUT the total-order tail — factored
+    * out so PlanSpec can assert the window shape (the barrier below
+    * truncates lineage, hiding the WindowExec from the final plan; the
+    * q80Scores precedent).
+    */
+  private[graft] def q25Features(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     val wRun = wOrd.rowsBetween(Window.unboundedPreceding, 0)
     val rnAll = row_number().over(wOrd)
     Tables.events(s, d)
@@ -123,8 +141,11 @@ object WindowQueries {
           .cast("long"))
       .withColumn("rows_since_peak", (col("rn") - col("peak_rn")).cast("long"))
       .select("event_id", "user_id", "value", "running_peak", "peak_rn", "rows_since_peak")
-      .orderBy("event_id")
   }
+  val q25PeakTracking: Q = (s, d) =>
+    q25Features(s, d)
+      .localCheckpoint(eager = false) // see q22: the double struct-max frame earns the barrier (0.61 -> 0.48 s)
+      .orderBy("event_id")
   // max(struct(value, -rn)) picks the EARLIEST row among equal peaks —
   // "first time the current peak was reached". SQL form: a row is a NEW
   // HIGH iff its value strictly exceeds the prior running max; the last

@@ -48,16 +48,23 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q21-q25: window queries sort within user partitions, not globally") {
-    Seq("q21_window_lag", "q23_running_max_drawdown", "q25_peak_tracking",
-      "q45_volatility_metrics", "q46_equity_curve", "q50_obs_features")
-      .foreach { q =>
-        val p = plan(q)
-        assert(p.contains("Window"), s"$q should use WindowExec")
-        // windowspecdefinition(user_id, ...) = per-entity partitioning; a
-        // spec without it would global-sort on a single reducer at scale
-        assert(p.contains("windowspecdefinition(user_id"),
-          s"$q window must partition by user_id, got:\n${p.take(1500)}")
-      }
+    // q22/q25 carry an r17 pre-sort checkpoint barrier that truncates the
+    // final plan, so their window shape is asserted on the factored
+    // pre-barrier relation (the q80Scores precedent)
+    val plans =
+      Seq("q21_window_lag", "q23_running_max_drawdown",
+        "q45_volatility_metrics", "q46_equity_curve", "q50_obs_features")
+        .map(q => q -> plan(q)) ++
+      Seq("q25_peak_tracking" ->
+        ops.WindowQueries.q25Features(spark, d)
+          .queryExecution.sparkPlan.toString)
+    plans.foreach { case (q, p) =>
+      assert(p.contains("Window"), s"$q should use WindowExec")
+      // windowspecdefinition(user_id, ...) = per-entity partitioning; a
+      // spec without it would global-sort on a single reducer at scale
+      assert(p.contains("windowspecdefinition(user_id"),
+        s"$q window must partition by user_id, got:\n${p.take(1500)}")
+    }
   }
 
   test("q44: native simhash runs inside the scan — no explode, no aggregate") {
@@ -134,19 +141,19 @@ class PlanSpec extends SparkSpec {
       "the vector side must not shuffle for assignment:\n" + p.take(1500))
   }
 
-  test("q69: Lloyd rounds checkpoint — final lineage independent of KmIters") {
-    // each round localCheckpoints its ≤K-row centroid table, so the final
-    // assignment plan scans parquet exactly ONCE (its own pass) and sees the
-    // centroids as a checkpointed RDD relation; without the checkpoint the
-    // plan embeds every previous round's scan and grows with KmIters
+  test("q69: Lloyd rounds stay out of the final lineage (independent of KmIters)") {
+    // the centroid table is driver-local between rounds (r17), so the
+    // final assignment plan scans parquet exactly ONCE (its own pass) and
+    // sees the centroids as a LocalRelation; without that boundary the
+    // plan would embed every previous round's scan and grow with KmIters
     val p = SparkEntry.queries("q69_kmeans")(spark, d)
       .queryExecution.optimizedPlan.toString
-    val parquetScans = "Relation".r.findAllIn(p).size
+    val parquetScans = "\\] parquet".r.findAllIn(p).size
     assert(parquetScans == 1,
       s"final assign must contain exactly one parquet scan, found $parquetScans:\n" +
         p.take(1500))
-    assert(p.contains("LogicalRDD") || p.contains("ExistingRDD"),
-      "centroids must enter as a checkpointed RDD relation:\n" + p.take(1500))
+    assert(p.contains("LocalRelation"),
+      "centroids must enter as a driver-local relation:\n" + p.take(1500))
   }
 
   test("q53: rug argmax is a partial-aggregated groupBy feeding a broadcast join") {
