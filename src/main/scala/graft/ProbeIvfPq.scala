@@ -112,7 +112,7 @@ object ProbeIvfPq {
     def l2sq6(a: String, b: String) =
       round(graft.functions.L2Distance.l2_sq(spark, a, b), 6)
     val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .localCheckpoint() // pin N rows; training/assign must not re-derive
     val n = emb.count()
     val listK = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)

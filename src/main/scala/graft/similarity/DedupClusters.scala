@@ -86,9 +86,19 @@ object DedupClusters {
     * the lemma and verification argument there).
     */
   private def jaccardPairsPrefix(docs: DataFrame, threshold: Double): DataFrame = {
-    val sub = SimilarityQueries.withShingles(docs)
+    // hashed shingle sets via the fused native expression (r17): the r16
+    // form ran `transform(shingles, xxhash64)` — a higher-order function,
+    // interpreted per element — over string shingles that only existed to
+    // be hashed. text_shingle_hashes emits the same XXH64 longs (the
+    // TextShingles structural identity, spec-pinned) in one codegen'd
+    // pass; distinct-then-hash ≡ hash-then-distinct under the family's
+    // injective-hash argument.
+    val s = docs.sparkSession
+    val sub = docs
+      .filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"),
-        array_sort(transform(col("shingles"), x => xxhash64(x))).as("sh"))
+        array_sort(array_distinct(graft.functions.TextShingleHashes
+          .text_shingle_hashes(s, "text", 3))).as("sh"))
     val n = size(col("sh"))
     val prefixLen = (n - ceil(lit(threshold) * n) + 1).cast("int")
     val prefixPosts = sub

@@ -47,7 +47,7 @@ object IvfPq {
 
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
-      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
   /** Coarse quantizer: (cents (cid, cv), assigned (vec_id, cid, v)) —
     * q69's Lloyd shape with a fixed-K codebook.
@@ -131,8 +131,9 @@ object IvfPq {
   /** PQ codebooks over residuals (sub, cid, cv) + codes (vec_id, ccid,
     * sub, cid).
     */
-  private[similarity] def fit(s: SparkSession, d: String)
-      : (DataFrame, DataFrame, DataFrame) = {
+  private[similarity] type SubCents = Array[(Int, Int, Array[Double])]
+  private[similarity] def fitLocal(s: SparkSession, d: String)
+      : (Cents, SubCents, DataFrame) = {
     val coarse = coarseFit(s, d)
     // rsub is read by the PQ init collect, every Lloyd round, and the
     // final code assignment — checkpoint the residual split once (N*M
@@ -144,7 +145,6 @@ object IvfPq {
     // PQ stage over residuals: driver-local codebook, argmin_l2
     // assignment — the same r17 restructure as the coarse stage (and as
     // ProductQuantization.fitLocal), one action per Lloyd round
-    type SubCents = Array[(Int, Int, Array[Double])] // (sub, cid, cv)
     def subCentsDf(cents: SubCents): DataFrame = {
       import org.apache.spark.sql.types._
       import scala.jdk.CollectionConverters._
@@ -182,16 +182,24 @@ object IvfPq {
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
       .sortBy(c => (c._1, c._2))
     for (_ <- 1 to PqIters) cents = update(assign(cents))
+    (coarse._1, cents,
+      assign(cents).select(col("vec_id"), col("ccid"), col("sub"), col("cid")))
+  }
+  /** Relational view of [[fitLocal]] — the pre-r17 signature, kept for
+    * callers that consume the codebooks as DataFrames (IvfPqSpec).
+    */
+  private[similarity] def fit(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (ccents, pcents, codes) = fitLocal(s, d)
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.types._
     val pcentsDf = s.createDataFrame(
-      cents.map(c => org.apache.spark.sql.Row(c._1, c._2, c._3.toSeq)).toSeq.asJava,
+      pcents.map(c => org.apache.spark.sql.Row(c._1, c._2, c._3.toSeq)).toSeq.asJava,
       StructType(Seq(
         StructField("sub", IntegerType, nullable = false),
         StructField("cid", IntegerType, nullable = false),
         StructField("cv", ArrayType(DoubleType, containsNull = false)))))
-    (centsDfOf(s, coarse._1), pcentsDf,
-      assign(cents).select(col("vec_id"), col("ccid"), col("sub"), col("cid")))
+    (centsDfOf(s, ccents), pcentsDf, codes)
   }
 
   // ---------------------------------------------------------------------------
@@ -202,27 +210,53 @@ object IvfPq {
   // candidate side joins on (ccid, sub, cid) so non-probed lists drop
   // before any aggregation.
   val q38IvfPqAnn: Q = (s, d) => {
-    val (ccents, pcents, codes) = fit(s, d)
-    val qv = emb(s, d).filter(col("vec_id") < NQ)
+    val (ccents, pcents, codes) = fitLocal(s, d)
+    // The ADC distance table is |Q|·nprobe·M·K rows of DATA-INDEPENDENT
+    // size over the |Q| collected query vectors and the driver-local
+    // codebooks, so it is computed here in plain Scala (r17 job-floor
+    // cut: the relational form ran a window-ranked crossJoin + residual
+    // explode + codebook join as its own multi-stage broadcast-build
+    // subplan). Arithmetic is replicated bit-for-bit: l2sq6 is the same
+    // in-element-order (a-b)² fold as L2Distance.compute followed by
+    // exactly Spark's round(x, 6) (BigDecimal.valueOf + HALF_UP — the
+    // ArgminL2 idiom); probed-list ranking sorts by (dist2, cid) like
+    // the row_number window it replaces; residuals and subvector slices
+    // are the same IEEE subtractions and integer-div slice bounds.
+    def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def l2sq6Local(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { val dd = a(i) - b(i); acc += dd * dd; i += 1 }
+      round6(acc)
+    }
+    val qrows = emb(s, d).filter(col("vec_id") < NQ)
       .select(col("vec_id").as("qid"), col("v"))
-    // probed lists per query (nprobe nearest coarse centroids)
-    val wProbe = Window.partitionBy("qid").orderBy(asc("dist2"), asc("cid"))
-    val qc = qv.crossJoin(broadcast(ccents))
-      .withColumn("dist2", l2sq6(s, "v", "cv"))
-      .withColumn("rk", row_number().over(wProbe))
-      .filter(col("rk") <= NProbe)
-      .select(col("qid"), col("cid").as("ccid"), col("cv"))
-    // per-(query, probed list) residual, split into subvectors
-    val qrsub = qc.join(qv, Seq("qid"))
-      .select(col("qid"), col("ccid"),
-        zip_with(col("v"), col("cv"), (a, b) => a - b).as("r"))
-      .select(col("qid"), col("ccid"),
-        explode(sequence(lit(0), lit(M - 1))).as("sub"),
-        expr(s"slice(r, sub * (size(r) div $M) + 1," +
-          s" size(r) div $M)").as("sv"))
-    val dt = qrsub.join(broadcast(pcents), Seq("sub"))
-      .select(col("qid"), col("ccid"), col("sub"), col("cid"),
-        l2sq6(s, "sv", "cv").as("dd"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val pBySub = pcents.groupBy(_._1)
+    val dtRows = for {
+      (qid, v) <- qrows.toSeq
+      (ccid, cv) <- ccents
+        .map { case (cid, cvv) => (l2sq6Local(v, cvv), cid, cvv) }
+        .sortBy(t => (t._1, t._2)).take(NProbe)
+        .map(t => (t._2, t._3)).toSeq
+      r = Array.tabulate(v.length)(i => v(i) - cv(i))
+      sub <- 0 until M
+      sv = { val sl = r.length / M; r.slice(sub * sl, sub * sl + sl) }
+      (_, pcid, pcv) <- pBySub.getOrElse(sub, Array.empty[(Int, Int, Array[Double])]).toSeq
+    } yield org.apache.spark.sql.Row(qid, ccid, sub, pcid, l2sq6Local(sv, pcv))
+    val dt = {
+      import org.apache.spark.sql.types._
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(dtRows.asJava, StructType(Seq(
+        StructField("qid", LongType, nullable = false),
+        StructField("ccid", IntegerType, nullable = false),
+        StructField("sub", IntegerType, nullable = false),
+        StructField("cid", IntegerType, nullable = false),
+        StructField("dd", DoubleType, nullable = false))))
+    }
     val w = Window.partitionBy("qid").orderBy(asc("adc"), asc("nid"))
     codes.join(broadcast(dt), Seq("ccid", "sub", "cid"))
       .filter(col("qid") =!= col("vec_id"))

@@ -53,7 +53,7 @@ object ProductQuantization {
   private def subVectors(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"),
-        transform(col("embedding"), _.cast("double")).as("v"))
+        col("embedding").cast("array<double>").as("v"))
       .select(col("vec_id"),
         explode(sequence(lit(0), lit(PqSubspaces - 1))).as("sub"),
         expr(s"slice(v, sub * (size(v) div $PqSubspaces) + 1," +

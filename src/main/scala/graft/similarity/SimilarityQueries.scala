@@ -529,9 +529,14 @@ object SimilarityQueries {
     // in practice here (a collision within a 200-shingle doc set has
     // probability ~2^-50), so set sizes and intersection counts — and thus
     // the jaccard the oracle checks hash-exactly — are unchanged.
-    val sub = withShingles(Tables.documents(s, d).filter(col("doc_id") < 150))
+    val sub = Tables.documents(s, d).filter(col("doc_id") < 150)
+      .filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"),
-        transform(col("shingles"), x => xxhash64(x)).as("shingles"))
+        // fused shingle+hash (r17): replaces the interpreted
+        // transform(shingles, xxhash64) lambda — same longs by the
+        // TextShingleHashes structural identity; set ops don't see order
+        array_distinct(graft.functions.TextShingleHashes
+          .text_shingle_hashes(s, "text", 3)).as("shingles"))
     val a = sub.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
     val b = sub.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
     // broadcast: bounded-by-predicate side (doc_id < 150) — the q41
@@ -764,7 +769,7 @@ object SimilarityQueries {
     // replace; the scan re-runs per pass instead, which is also the
     // plan that needs no corpus persist at 100 TB)
     val emb = Tables.embeddings(s, d)
-      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     // assignment is ONE exchange-free codegen'd pass (r15): the K
     // centroids ride a single broadcast row as (cids, flattened K·dims
     // matrix) and `argmin_l2` picks each vector's (cid, 6dp-rounded dist2)

@@ -141,15 +141,19 @@ object TextQueries {
   val q36Shingles: Q = (s, d) => {
     val t = col("__toks")
     val n = size(t)
+    // distinct count over the native hashed shingles (r17): the r16 form
+    // ran a `transform` lambda (interpreted HOF evaluation per element)
+    // and an array_distinct comparing multi-token STRINGS byte-by-byte;
+    // text_shingle_hashes + long-typed distinct counts the same set by
+    // the q47/q58/q78 injective-hash argument (the count is the output,
+    // never the shingle; oracle stays string-keyed)
     Tables.documents(s, d)
       .withColumn("__toks", toks)
       .filter(n >= 3)
       .select(col("doc_id"),
         (n - 2).as("n_shingles"),
-        size(array_distinct(transform(
-          arrays_zip(slice(t, lit(1), n - 2), slice(t, lit(2), n - 2),
-            slice(t, lit(3), n - 2)),
-          z => concat_ws(" ", z("0"), z("1"), z("2"))))).as("n_unique_shingles"))
+        size(array_distinct(graft.functions.TextShingleHashes
+          .text_shingle_hashes(s, "text", 3))).as("n_unique_shingles"))
       .orderBy("doc_id")
   }
   val q36Sql: String =
@@ -722,28 +726,27 @@ object TextQueries {
   val DupNgramFracMax = 0.30
   val q60RepetitionFilter: Q = (s, d) => {
     val t = col("__t")
-    // n-grams via arrays_zip of SHIFTED SLICES (the q42 lesson: a
-    // transform-over-sequence with slice() inside the lambda re-slices per
-    // element — O(n²) per document in the interpreted HOF evaluator, and
-    // measured 4× slower here). The zip is one O(n) pass; the 2-gram hash
-    // runs AFTER the explode as a scalar codegen'd expression.
-    val m2 = greatest(size(t) - 1, lit(0))
-    val m3 = greatest(size(t) - 2, lit(0))
+    // n-gram hashes via the native fused `text_shingle_hashes` (r17): the
+    // r16 form built 3-grams with a `transform` lambda over zipped slices
+    // — a higher-order function, which Catalyst evaluates INTERPRETED per
+    // element (the CodegenFallback trap the r15 text_stats fix documented)
+    // — and materialized a 2-gram struct array to hash after an explode.
+    // The native expression hashes each n-token byte span in place with
+    // the same XxHash64Function the scalar xxhash64(concat_ws(" ", ...))
+    // computed (the TextShingles structural identity, spec-pinned), so
+    // every downstream count is bit-identical.
     val g = Tables.documents(s, d)
       .withColumn("__t", toks)
       .filter(size(t) >= 2)
       .select(col("doc_id"), size(t).as("n_tokens"),
-        arrays_zip(slice(t, lit(1), m2), slice(t, lit(2), m2)).as("z2"),
-        transform(
-          arrays_zip(slice(t, lit(1), m3), slice(t, lit(2), m3),
-            slice(t, lit(3), m3)),
-          z => xxhash64(concat_ws(" ", z("0"), z("1"), z("2")))).as("g3"))
+        graft.functions.TextShingleHashes.text_shingle_hashes(s, "text", 2)
+          .as("g2"),
+        graft.functions.TextShingleHashes.text_shingle_hashes(s, "text", 3)
+          .as("g3"))
     val dup3 = when(size(col("g3")) > 0,
       round(lit(1.0) - size(array_distinct(col("g3"))).cast("double")
         / size(col("g3")).cast("double"), 6)).otherwise(0.0)
-    val top2 = g.select(col("doc_id"), explode(col("z2")).as("z"))
-      .select(col("doc_id"),
-        xxhash64(concat_ws(" ", col("z")("0"), col("z")("1"))).as("h"))
+    val top2 = g.select(col("doc_id"), explode(col("g2")).as("h"))
       .groupBy("doc_id", "h").count()
       .groupBy("doc_id").agg(max("count").as("top2"))
     g.select(col("doc_id"), col("n_tokens"), dup3.as("dup3_frac"))
