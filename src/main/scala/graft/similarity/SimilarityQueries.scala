@@ -430,10 +430,15 @@ object SimilarityQueries {
   private val SimNumBands = 64 / SimBandBits
 
   val q63SimhashPairs: Q = (s, d) => {
+    // LAZY barrier (r17): sigs feeds the banded relation AND both
+    // verification joins — without it the per-doc simhash64 scan runs
+    // three times in the final DAG. 16 B/doc persisted; materialized
+    // inside the first consumer's job.
     val sigs = Tables.documents(s, d)
       .withColumn("__toks", split(col("text"), " "))
       .select(col("doc_id"),
         graft.functions.SimHash64.simhash64(s, "__toks").as("simhash"))
+      .localCheckpoint(eager = false)
     val banded = sigs.select(col("doc_id").as("id"),
       posexplode(array((0 until SimNumBands).map { b =>
         shiftrightunsigned(col("simhash"), b * SimBandBits)
@@ -499,6 +504,7 @@ object SimilarityQueries {
       .withColumn("__toks", split(col("text"), " "))
       .select(col("doc_id"),
         graft.functions.SimHash64.simhash64(s, "__toks").as("simhash"))
+      .localCheckpoint(eager = false) // see q63: three consumers, one simhash scan
     def block(i: Int) =
       shiftrightunsigned(col("simhash"), SimBlockOffsets(i))
         .bitwiseAND(lit((1L << SimBlockWidths(i)) - 1))
