@@ -1046,8 +1046,12 @@ object SimilarityQueries {
       d: String, kOverride: Option[Int] = None,
       annProbe: Option[Int] = None,
       coarseKpp: Boolean = false): DataFrame = {
+    // LAZY barrier (r17): the assignment feeds BOTH the pair generation
+    // and the final keep/drop join -- without it the argmin scan runs
+    // twice in the final DAG
     val a = kmAssigned(s, d, kOverride, annProbe, coarseKpp)
       .select(col("vec_id"), col("cid"), col("v"))
+      .localCheckpoint(eager = false)
     val dropped = semPairs(a.select(col("cid"), col("vec_id"), col("v")))
       .withColumn("cosine", cos6(s, "va", "vb"))
       .filter(col("cosine") >= SemDedupTheta)

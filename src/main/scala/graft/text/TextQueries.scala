@@ -280,7 +280,10 @@ object TextQueries {
   }
 
   val q58Decontamination: Q = (s, d) => {
-    val docs = decontaminationDocs(s, d)
+    // LAZY barrier (r17): the hashed-shingle scan feeds three consumers
+    // (train side, eval postings, the final eval report) -- one scan,
+    // materialized by the first consumer's job
+    val docs = decontaminationDocs(s, d).localCheckpoint(eager = false)
     val trainShingles = docs.filter(col("is_train"))
       .select(explode(col("shingles")).as("shingle")).distinct()
     val evalPostings = docs.filter(!col("is_train"))
@@ -321,6 +324,11 @@ object TextQueries {
   // win. Correctness never depends on occupancy (oracle-gated).
   val BloomBits = 1L << 20
   val BloomItems = 1L << 17
+  // (r17: q58's three-consumer docs checkpoint is NOT applied here — it
+  // would move the bloom probe off the parquet scan stage onto persisted
+  // RDD blocks, trading q86's spec-pinned scan-stage-drop contract (the
+  // whole point of the bloom at 100 TB: non-matching postings die before
+  // anything materializes) for a corpus-scale persist.)
   val q86BloomDecontamination: Q = (s, d) => {
     val docs = decontaminationDocs(s, d)
     // checkpointed: the bloom build's `.head` action and the exact semi
