@@ -585,18 +585,18 @@ object SimilarityQueries {
   private val WinnowWindow = 4
 
   val q48Winnowing: Q = (s, d) => {
-    graft.functions.Hash64.register(s)
-    graft.functions.TextShingles.register(s)
     graft.functions.SlidingMin.register(s)
-    // ORDERED shingles via the native expression (duplicates kept —
-    // winnowing is positional), window minima via the native monotonic
-    // deque: per-doc arrays end to end, no explode, no shuffle before the
-    // final orderBy. >= w shingles ⇔ the old >= 2+w token filter
-    // (text_shingles yields n−2 shingles for n ≥ 3, none below).
+    // ORDERED shingle hash64s via the fused native expression (r17:
+    // duplicates kept, positional — winnowing needs both; the r16
+    // `transform(__osh, x -> hash64(x))` lambda evaluated INTERPRETED per
+    // shingle, the CodegenFallback HOF trap), window minima via the
+    // native monotonic deque: per-doc arrays end to end, no explode, no
+    // shuffle before the final orderBy. >= w hashed shingles ⇔ the old
+    // >= 2+w token filter (n−2 shingles for n ≥ 3, none below).
     Tables.documents(s, d)
-      .withColumn("__osh", expr("text_shingles(text, 3)"))
-      .filter(size(col("__osh")) >= WinnowWindow)
-      .withColumn("hs", expr("transform(__osh, x -> hash64(x))"))
+      .withColumn("hs", graft.functions.TextShingleHash64s
+        .text_shingle_hash64s(s, "text", 3))
+      .filter(size(col("hs")) >= WinnowWindow)
       .withColumn("fps",
         array_distinct(expr(s"sliding_min(hs, $WinnowWindow)")))
       .select(col("doc_id"),

@@ -1286,18 +1286,17 @@ object TextQueries {
     graft.functions.SlidingMin.register(s)
     val k = WinnowK
     val w = WinnowW
-    def h32(c: org.apache.spark.sql.Column) = // native ≡ conv(substring(md5..))
-      graft.functions.Md5Prefix32.md5_prefix32(c)
-    val sh = col("__sh")
+    // fused shingle+md5-prefix hashes (r17): the r16 shape still ran a
+    // `transform(sh, md5_prefix32)` lambda — interpreted HOF dispatch per
+    // gram — over native k-gram strings that only existed to be hashed;
+    // the fused expression hashes each span in place with the same
+    // Md5Prefix32 kernel (bit-identical values).
+    // m >= w shingles <=> len(tokens) >= k+w-1 (n-(k-1) grams for n >= k,
+    // none below)
     Tables.documents(s, d)
-      .withColumn("__sh",
-        graft.functions.TextShingles.text_shingles(s, "text", k))
-      // m >= w shingles <=> len(tokens) >= k+w-1 (text_shingles yields
-      // n-(k-1) grams for n >= k, none below)
-      .filter(size(sh) >= w)
-      // native k-gram strings + per-element h32: the remaining lambda is
-      // md5+conv per gram, not the interpreted slice+join string rebuild
-      .withColumn("hs", transform(sh, x => h32(x)))
+      .withColumn("hs", graft.functions.TextShingleMd5p32s
+        .text_shingle_md5p32s(s, "text", k))
+      .filter(size(col("hs")) >= w)
       .select(col("doc_id"),
         explode(array_distinct(expr(s"sliding_min(hs, $w)"))).as("h"))
   }
