@@ -57,6 +57,15 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Measured and DISCARDED (r17): coalescePartitions.parallelismFirst
+      // = false (respect the advisory size; the setting Spark's docs
+      // recommend and guide 2.2's fewer-larger-partitions direction).
+      // Net +1.3 s on the 15 heaviest queries at sf0.1/32 (q50 0.61 ->
+      // 1.21, q55 0.79 -> 1.21, q43 0.67 -> 1.07 regressed; q74/q73/q05
+      // improved ~0.1 each): with MB-scale shuffles everything coalesces
+      // to ONE partition, serializing window/join stages that the
+      // parallelism floor kept spread. On a cluster whose shuffles
+      // exceed the 64 MB advisory size the flag is moot by construction.
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes)
       .config("spark.sql.files.openCostInBytes", openCostInBytes)
