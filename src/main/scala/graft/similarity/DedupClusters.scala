@@ -129,10 +129,15 @@ object DedupClusters {
     // LAZY checkpoints (r17 job-floor cut): both barriers materialize
     // inside round 1's first job instead of paying two dedicated eager
     // passes — ProbeJobs measured this loop at 26 sequential jobs for
-    // 1.2 CPU-s at the bench SF, all scheduling floor
-    val bidir = (edges.select(col("src"), col("dst"))
-      unionByName edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(eager = false)
+    // 1.2 CPU-s at the bench SF, all scheduling floor.
+    // r18: the barrier moved one level DOWN, onto the edge relation
+    // itself — checkpointing the mirrored union meant the (expensive)
+    // pair-generation subplan appeared in BOTH union branches and ran
+    // twice inside the one materialization job. Mirroring on top of the
+    // checkpoint runs it once; the union of two checkpoint-block reads is
+    // trivial to recompute each round.
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(eager = false)
+    val bidir = e unionByName e.select(col("dst").as("src"), col("src").as("dst"))
     var labels = nodes.select(col("id"), col("id").as("comp"))
       .localCheckpoint(eager = false)
     var converged = false

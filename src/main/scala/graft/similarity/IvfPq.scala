@@ -102,12 +102,18 @@ object IvfPq {
         (cid, rs.sortBy(_.getInt(1)).map(_.getDouble(2)))
       }
     }
-    var cents: Cents = e.filter(col("vec_id") < IvfK)
-      .select(col("vec_id").cast("int").as("cid"), col("v"))
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-    for (_ <- 1 to IvfIters) cents = update(assign(cents))
+    // AQE off for the fit-internal actions (r18, see graft.withAqeOff):
+    // init collect + per-round update shuffles are <= K·d slim rows at
+    // any scale; the final assignment executes outside, under AQE.
+    val cents: Cents = graft.withAqeOff(s) {
+      var c: Cents = e.filter(col("vec_id") < IvfK)
+        .select(col("vec_id").cast("int").as("cid"), col("v"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+      for (_ <- 1 to IvfIters) c = update(assign(c))
+      c
+    }
     // no checkpoint on the final assignment: its single consumer is the
     // residual split, which IS checkpointed (lazily) in fit below
     (cents, assign(cents))
@@ -176,12 +182,19 @@ object IvfPq {
           (sub, cid, rs.sortBy(_.getInt(2)).map(_.getDouble(3)))
         }
     }
-    var cents: SubCents = rsub.filter(col("vec_id") < PqK)
-      .select(col("sub"), col("vec_id").cast("int").as("cid"), col("sv"))
-      .collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-      .sortBy(c => (c._1, c._2))
-    for (_ <- 1 to PqIters) cents = update(assign(cents))
+    // AQE off for the PQ-fit actions (r18, see graft.withAqeOff): the
+    // init collect (also the job that materializes the rsub checkpoint —
+    // a narrow, exchange-free pipeline AQE cannot improve) and the
+    // per-round update shuffles (<= M·K·d slim rows at any scale).
+    val cents: SubCents = graft.withAqeOff(s) {
+      var c: SubCents = rsub.filter(col("vec_id") < PqK)
+        .select(col("sub"), col("vec_id").cast("int").as("cid"), col("sv"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+        .sortBy(c0 => (c0._1, c0._2))
+      for (_ <- 1 to PqIters) c = update(assign(c))
+      c
+    }
     (coarse._1, cents,
       assign(cents).select(col("vec_id"), col("ccid"), col("sub"), col("cid")))
   }

@@ -116,12 +116,18 @@ object ProductQuantization {
           (sub, cid, rs.sortBy(_.getInt(2)).map(_.getDouble(3)))
         }
     }
-    var cents: SubCents = subv.filter(col("vec_id") < PqK)
-      .select(col("sub"), col("vec_id").cast("int").as("cid"), col("sv"))
-      .collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-      .sortBy(c => (c._1, c._2))
-    for (_ <- 1 to PqIters) cents = update(assign(cents))
+    // AQE off for the fit-internal actions (r18, see graft.withAqeOff):
+    // init collect + per-round update shuffles are <= M·K·d slim rows at
+    // any scale; the final assignment executes outside, under AQE.
+    val cents: SubCents = graft.withAqeOff(s) {
+      var c: SubCents = subv.filter(col("vec_id") < PqK)
+        .select(col("sub"), col("vec_id").cast("int").as("cid"), col("sv"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+        .sortBy(c0 => (c0._1, c0._2))
+      for (_ <- 1 to PqIters) c = update(assign(c))
+      c
+    }
     (cents, assign(cents).select(col("vec_id"), col("sub"), col("cid")))
   }
   /** Relational view of the fitted codebooks + codes — the pre-r17

@@ -939,12 +939,20 @@ object SimilarityQueries {
         (cid, rs.sortBy(_.getInt(1)).map(_.getDouble(2)))
       }
     }
-    var cents: Cents = emb.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-    for (_ <- 1 to KmIters) cents = update(assignPass(cents))
+    // AQE off for the fit-internal actions only (r18): the init collect
+    // and each round's update shuffle are size-bounded (<= K·d slim rows
+    // at any corpus size), so AQE's stage-materialization barrier per
+    // exchange is pure sequential latency here (see graft.withAqeOff).
+    // The RETURNED assignment executes outside the scope, under AQE.
+    val cents: Cents = graft.withAqeOff(s, (k + 1023) / 1024) {
+      var c: Cents = emb.filter(col("vec_id") < k)
+        .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+      for (_ <- 1 to KmIters) c = update(assignPass(c))
+      c
+    }
     assignPass(cents)
   }
 

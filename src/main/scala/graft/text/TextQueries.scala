@@ -965,7 +965,20 @@ object TextQueries {
     val tf = Tables.documents(s, d)
       .select(col("doc_id"), explode(toks).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    // df counts tf's ROWS, so a plain count(1) lets column pruning drop
+    // the tf value from this branch — its partial aggregate then differs
+    // from the join branch's and ReuseExchange cannot fire, re-running
+    // the whole scan + explode + partial-count (r18 plan audit: two
+    // parquet scans). The conditional count is the SAME number (tf =
+    // count(1) is always >= 1) but Catalyst cannot prove the predicate,
+    // so the tf column survives pruning and both branches' (doc_id,
+    // token) exchanges stay bit-identical — the corpus-side subplan is
+    // computed ONCE and the df branch reads the reused exchange (guide
+    // §2.4 "share one exchange"; no barrier, no persist). A bare
+    // count(tf) does NOT work: the optimizer rewrites count(non-null
+    // agg) back to count(1) and prunes.
+    val df = tf.groupBy("token")
+      .agg(count(when(col("tf") >= 1, lit(1))).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(desc("score"), asc("token"))
     tf.join(df, "token")
