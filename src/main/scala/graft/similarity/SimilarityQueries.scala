@@ -209,20 +209,32 @@ object SimilarityQueries {
   private[graft] def bucketPairs(banded: DataFrame,
       chunkSize: Int = 256): DataFrame = {
     val chunked = chunkedBuckets(banded, chunkSize)
+    // Within-chunk expansion as TWO Generate nodes (r18): the old form
+    // built the whole c(k,2) struct array per bucket row through nested
+    // `transform` lambdas — higher-order functions evaluate INTERPRETED
+    // (CodegenFallback, the r15 ArrayExists.eval trap), on exactly the
+    // candidate-enumeration path that dominates q43/q63/q77 at scale —
+    // and materialized the full flattened pair array in memory before
+    // exploding it. posexplode + explode(slice(...)) emits the identical
+    // pair multiset (for each position i: ids[i] with every later
+    // member) through whole-stage-codegen'd primitives, one suffix slice
+    // at a time instead of one O(k²) array per bucket.
     val expand = (df: DataFrame) => df
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, greatest(size(col("ids")) - i - 1, lit(0))),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id_a")))
+      .select(col("id_a"), explode(slice(col("ids"), col("i") + 2,
+        greatest(size(col("ids")) - col("i") - 1, lit(0)))).as("id_b"))
     val withinSingle = expand(
       chunked.filter(col("nchunks") === 1 && size(col("ids")) >= 2))
     val withinMulti = expand(chunked.filter(col("nchunks") > 1)
       .repartition(col("band"), col("bkey"), col("chunk")))
     val cross = crossChunkRows(chunked)
       .select(explode(col("ids_a")).as("xa"), col("ids_b"))
-      // chunk salting ignores id order, so order each cross pair explicitly
-      .select(explode(transform(col("ids_b"), y =>
-        struct(least(col("xa"), y).as("id_a"),
-          greatest(col("xa"), y).as("id_b")))).as("p"))
+      // chunk salting ignores id order, so order each cross pair
+      // explicitly; plain explode + least/greatest projection (the
+      // transform-lambda form ran interpreted, see expand above)
+      .select(explode(col("ids_b")).as("y"), col("xa"))
+      .select(least(col("xa"), col("y")).as("id_a"),
+        greatest(col("xa"), col("y")).as("id_b"))
     // No hint needed against a statically-broadcast pair set: Catalyst's
     // size estimate for a Generate (explode) keeps the CHILD's
     // sizeInBytes, so the planner used to under-count the pair set by the
@@ -235,7 +247,7 @@ object SimilarityQueries {
     // leaked join-hint warnings when the pair set was consumed without a
     // join). PlanSpec still pins the SortMergeJoin in q43/q51's plans.
     withinSingle.unionByName(withinMulti).unionByName(cross)
-      .select(col("p.id_a"), col("p.id_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
   }
 
