@@ -1011,10 +1011,17 @@ object SimilarityQueries {
     */
   private[graft] def semPairs(a: DataFrame,
       chunkSize: Int = 1024): DataFrame = {
-    val wC = Window.partitionBy("cid")
-    val sized = a
-      .withColumn("nchunks",
-        ceil(count(lit(1)).over(wC) / lit(chunkSize.toDouble)).cast("int"))
+    // Cluster sizing via aggregate + join (r18, the r17 "slim count-join
+    // variant", measured and kept): the window form
+    // `count().over(partitionBy(cid))` dragged every row's FULL vector
+    // payload through the window's sort and buffered whole cid
+    // partitions — on a hot cluster that is the entire cluster's vectors
+    // in one task's window buffer. The count relation is one row per
+    // cluster (<= K, config-bounded), so the size join streams instead
+    // of buffering and the payload no longer passes through a sort.
+    val counts = a.groupBy("cid")
+      .agg(ceil(count(lit(1)) / lit(chunkSize.toDouble)).cast("int").as("nchunks"))
+    val sized = a.join(counts, "cid")
       .withColumn("chunk", pmod(xxhash64(col("vec_id")), col("nchunks")).cast("int"))
     val small = sized.filter(col("nchunks") === 1)
     val smallPairs = small
